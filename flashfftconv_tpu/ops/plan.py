@@ -1,0 +1,217 @@
+"""Monarch FFT plans: precomputed DFT matrices, twiddle factors and factorizations.
+
+A length-``N`` FFT (``N`` a power of two, 256 <= N <= 4M) is decomposed into a
+chain of small batched matrix multiplies ("Monarch decomposition"): pick factors
+``N = f_1 * f_2 * ... * f_m``, reshape the signal to ``(f_1, ..., f_m)`` and
+apply, for each stage ``j``, a DFT of size ``f_j`` along axis ``j`` followed by
+an elementwise twiddle multiply. Each stage maps onto the TPU MXU as a batched
+matmul with contraction dimension ``f_j``.
+
+This mirrors the capability of the reference FlashFFTConv plan construction
+(``/root/reference/flashfftconv/conv.py:22-69`` and the per-seqlen buffer setup
+at ``conv.py:71-549``) but chooses TPU-native factor sizes: instead of the
+CUDA 16x16/32x32 WMMA tiles, we use factors up to 256 so the contraction
+dimensions saturate the 128x128 MXU, and we keep all tables in float32 (the
+reference stores them in fp16/bf16, which is why its k-grad tolerance degrades
+at 4M; see ``/root/reference/tests/test_flashfftconv.py:105-107``).
+
+All twiddle/DFT phases are computed with exact integer arithmetic mod N in
+float64 before the final cos/sin, so tables are accurate to f32 roundoff even
+at N = 4,194,304.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MIN_SEQLEN = 256
+MAX_SEQLEN = 4 * 1024 * 1024  # 4,194,304 — parity with README.md:268 of the reference.
+
+# Largest factor we allow per Monarch stage. 256 keeps the per-stage DFT matrix
+# (256x256 complex f32 = 512 KB planar) comfortably in VMEM while giving the MXU
+# contraction dims of 128-256.
+_MAX_FACTOR = 256
+# Largest "inner" FFT handled by a single fused kernel pass; sequences longer
+# than this use an outer butterfly stage (three-pass pipeline), like the
+# reference's >=64K path (/root/reference/flashfftconv/conv.py:203-549).
+MAX_INNER = 32768
+
+
+def is_supported_seqlen(seqlen: int) -> bool:
+    return (
+        MIN_SEQLEN <= seqlen <= MAX_SEQLEN and (seqlen & (seqlen - 1)) == 0
+    )
+
+
+def default_factors(seqlen: int) -> tuple[int, ...]:
+    """TPU-native factorization of a power-of-two FFT size.
+
+    <= 32K: two factors as close to square as possible (f1 >= f2), both <= 256.
+    > 32K: an outer butterfly factor ``seqlen // MAX_INNER`` followed by the
+    two-way split of the 32K inner FFT. (The reference uses outer factors
+    16..128 with inner sizes 4K-32K; see SURVEY.md §2.3.)
+    """
+    if not is_supported_seqlen(seqlen):
+        raise ValueError(
+            f"seqlen {seqlen} not supported: must be a power of two in "
+            f"[{MIN_SEQLEN}, {MAX_SEQLEN}]"
+        )
+    m = seqlen.bit_length() - 1
+    if seqlen <= MAX_INNER:
+        f1 = 1 << ((m + 1) // 2)
+        f2 = 1 << (m // 2)
+        assert f1 * f2 == seqlen and f1 <= _MAX_FACTOR
+        return (f1, f2)
+    outer = seqlen // MAX_INNER
+    return (outer,) + default_factors(MAX_INNER)
+
+
+def _dft_matrix(n: int, sign: int) -> np.ndarray:
+    """n x n (I)DFT matrix, complex128. sign=-1 forward, +1 inverse (unnormalized)."""
+    idx = np.arange(n, dtype=np.int64)
+    phase = (idx[:, None] * idx[None, :]) % n
+    return np.exp(sign * 2j * np.pi * phase.astype(np.float64) / n)
+
+
+def _twiddle(f: int, r: int, sign: int) -> np.ndarray:
+    """(f, r) twiddle table w[k, t] = exp(sign * 2*pi*i * k * t / (f*r))."""
+    n = f * r
+    k = np.arange(f, dtype=np.int64)[:, None]
+    t = np.arange(r, dtype=np.int64)[None, :]
+    phase = (k * t) % n
+    return np.exp(sign * 2j * np.pi * phase.astype(np.float64) / n)
+
+
+def _planar(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return (
+        np.ascontiguousarray(x.real.astype(np.float32)),
+        np.ascontiguousarray(x.imag.astype(np.float32)),
+    )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["dft_re", "dft_im", "idft_re", "idft_im", "tw_re", "tw_im"],
+    meta_fields=["seqlen", "factors", "compute_dtype_name"],
+)
+@dataclasses.dataclass(frozen=True)
+class FftPlan:
+    """Precomputed tables for a Monarch-decomposed FFT convolution.
+
+    Data fields (tuples of f32 arrays, one entry per stage ``j``):
+      dft_re/dft_im[j]:   (f_j, f_j) forward DFT matrix.
+      idft_re/idft_im[j]: (f_j, f_j) inverse DFT matrix; stage 0 carries the
+                          1/N normalization.
+      tw_re/tw_im[j]:     (f_j, R_j) forward twiddles, R_j = prod(factors[j+1:]).
+                          Inverse twiddles are the conjugates (negate tw_im).
+                          The last stage has R_m = 1 and no twiddle entry.
+    """
+
+    seqlen: int
+    factors: tuple[int, ...]
+    compute_dtype_name: str
+    dft_re: tuple[Any, ...]
+    dft_im: tuple[Any, ...]
+    idft_re: tuple[Any, ...]
+    idft_im: tuple[Any, ...]
+    tw_re: tuple[Any, ...]
+    tw_im: tuple[Any, ...]
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.compute_dtype_name)
+
+    @property
+    def n_stages(self) -> int:
+        return len(self.factors)
+
+
+def make_plan(
+    seqlen: int,
+    compute_dtype=jnp.bfloat16,
+    factors: tuple[int, ...] | None = None,
+) -> FftPlan:
+    """Build an FftPlan for the given power-of-two seqlen.
+
+    compute_dtype is the dtype matmul *operands* are cast to (accumulation is
+    always f32 via preferred_element_type); tables themselves are stored f32.
+    """
+    if factors is None:
+        factors = default_factors(seqlen)
+    else:
+        factors = tuple(int(f) for f in factors)
+        if math.prod(factors) != seqlen:
+            raise ValueError(f"factors {factors} do not multiply to {seqlen}")
+
+    dft_re, dft_im, idft_re, idft_im = [], [], [], []
+    tw_re, tw_im = [], []
+    n = seqlen
+    for j, f in enumerate(factors):
+        r = n // f  # remaining sub-FFT length handled by later stages
+        fwd = _dft_matrix(f, -1)
+        inv = _dft_matrix(f, +1)
+        if j == 0:
+            inv = inv / seqlen  # fold the 1/N normalization into one matrix
+        fr, fi = _planar(fwd)
+        ir, ii = _planar(inv)
+        dft_re.append(fr)
+        dft_im.append(fi)
+        idft_re.append(ir)
+        idft_im.append(ii)
+        if r > 1:
+            wr, wi = _planar(_twiddle(f, r, -1))
+            tw_re.append(wr)
+            tw_im.append(wi)
+        n = r
+
+    to_j = lambda xs: tuple(jnp.asarray(x) for x in xs)
+    return FftPlan(
+        seqlen=seqlen,
+        factors=factors,
+        compute_dtype_name=jnp.dtype(compute_dtype).name,
+        dft_re=to_j(dft_re),
+        dft_im=to_j(dft_im),
+        idft_re=to_j(idft_re),
+        idft_im=to_j(idft_im),
+        tw_re=to_j(tw_re),
+        tw_im=to_j(tw_im),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def get_plan(seqlen: int, compute_dtype_name: str = "bfloat16") -> FftPlan:
+    """Cached plan lookup so every layer of a model shares one plan per seqlen
+    (the reference's one-FlashFFTConv-per-model invariant, README.md:108-133)."""
+    return make_plan(seqlen, compute_dtype=jnp.dtype(compute_dtype_name))
+
+
+def kf_permute(k_f: jax.Array, factors: tuple[int, ...]) -> jax.Array:
+    """Permute a natural-order spectrum (..., N) into Monarch layout (..., f1, ..., fm).
+
+    The Monarch-transformed array X[k1, ..., km] holds frequency
+    k = k1 + f1*k2 + f1*f2*k3 + ...; equivalently
+    ``k_f.reshape(fm, ..., f1).transpose(reverse)``. This is the generalization
+    of the reference's per-size k_f permutations (e.g.
+    /root/reference/flashfftconv/conv.py:585,620,695-696).
+    """
+    batch = k_f.shape[:-1]
+    nb = len(batch)
+    x = k_f.reshape(*batch, *factors[::-1])
+    perm = tuple(range(nb)) + tuple(nb + len(factors) - 1 - i for i in range(len(factors)))
+    return jnp.transpose(x, perm)
+
+
+def kf_unpermute(x: jax.Array, factors: tuple[int, ...]) -> jax.Array:
+    """Inverse of kf_permute: Monarch layout (..., f1, ..., fm) -> natural (..., N)."""
+    batch = x.shape[: -len(factors)]
+    nb = len(batch)
+    perm = tuple(range(nb)) + tuple(nb + len(factors) - 1 - i for i in range(len(factors)))
+    n = math.prod(factors)
+    return jnp.transpose(x, perm).reshape(*batch, n)

@@ -1,0 +1,58 @@
+"""Optimizer construction with per-parameter hyperparameter groups.
+
+The reference tags conv-kernel parameters with an ``_optim`` attribute (custom
+lr, zero weight decay) and builds AdamW param groups from it
+(/root/reference/flashfftconv_long_convs.py:16-29,
+standalone_cifar.py:145-186). The optax-native equivalent is
+``optax.multi_transform`` over a label pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import optax
+
+
+def label_params(params, is_special: Callable[[tuple, Any], bool]):
+    """Label each leaf 'special' or 'default' based on its path."""
+
+    def lab(path, leaf):
+        del leaf
+        return "special" if is_special(path) else "default"
+
+    return jax.tree_util.tree_map_with_path(lab, params)
+
+
+def kernel_label_fn(path) -> bool:
+    """True for long-conv kernel parameters (the reference's `_optim` params)."""
+    names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    return any(n == "kernel" for n in names)
+
+
+def make_optimizer(
+    params,
+    lr: float = 1e-3,
+    weight_decay: float = 0.05,
+    special_lr: float | None = 1e-3,
+    epochs: int | None = None,
+    steps_per_epoch: int | None = None,
+    is_special: Callable = kernel_label_fn,
+) -> optax.GradientTransformation:
+    """AdamW with a separate no-weight-decay group for kernel params, and an
+    optional cosine schedule (the reference uses CosineAnnealingLR over epochs,
+    standalone_cifar.py:177)."""
+
+    def sched(base):
+        if epochs is None or steps_per_epoch is None:
+            return base
+        return optax.cosine_decay_schedule(base, epochs * steps_per_epoch)
+
+    default_tx = optax.adamw(sched(lr), weight_decay=weight_decay)
+    special_tx = optax.adamw(sched(special_lr if special_lr is not None else lr),
+                             weight_decay=0.0)
+    labels = label_params(params, is_special)
+    return optax.multi_transform(
+        {"default": default_tx, "special": special_tx}, labels
+    )

@@ -1,0 +1,112 @@
+"""Parity tests for the short depthwise conv1d, mirroring
+/root/reference/tests/test_conv1d.py: BHL and BLH layouts, odd kernel sizes,
+mixed input/weight dtypes, forward and gradients vs a lax.conv reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashfftconv_tpu import FlashDepthWiseConv1d, depthwise_conv1d
+
+
+def _ref_conv1d(x_bhl, w_dk, bias, padding):
+    """Oracle: lax.conv_general_dilated with feature_group_count=D (f32)."""
+    d, k = w_dk.shape
+    out = jax.lax.conv_general_dilated(
+        x_bhl.astype(jnp.float32),
+        w_dk[:, None, :].astype(jnp.float32),  # (O=D, I/g=1, K)
+        window_strides=(1,),
+        padding=[(padding, padding)],
+        feature_group_count=d,
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :, None]
+    return out
+
+
+@pytest.mark.parametrize("b,d,l", [(2, 8, 64), (1, 3, 100), (4, 16, 128)])
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_bhl_forward(rng, b, d, l, k):
+    x = jnp.asarray(rng.standard_normal((b, d, l)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
+    pad = (k - 1) // 2
+    y = depthwise_conv1d(x, w, bias, padding=pad, is_bhl=True)
+    y_ref = _ref_conv1d(x, w, bias, pad)
+    assert y.shape == (b, d, l)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+@pytest.mark.parametrize("pad", [0, 1, 2])
+def test_blh_forward(rng, k, pad):
+    b, d, l = 2, 6, 50
+    x = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+    w_kd = jnp.asarray(rng.standard_normal((k, d)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
+    y = depthwise_conv1d(x, w_kd, bias, padding=pad, is_bhl=False)
+    y_ref = _ref_conv1d(jnp.swapaxes(x, 1, 2), w_kd.T, bias, pad)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(jnp.swapaxes(y_ref, 1, 2)), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "x_dtype,w_dtype",
+    [
+        (jnp.float32, jnp.float32),
+        (jnp.bfloat16, jnp.float32),  # mixed precision: fp32 master weights
+        (jnp.bfloat16, jnp.bfloat16),
+        (jnp.float16, jnp.float16),
+    ],
+)
+def test_mixed_dtypes(rng, x_dtype, w_dtype):
+    b, d, l, k = 2, 8, 64, 5
+    x = jnp.asarray(rng.standard_normal((b, d, l)).astype(np.float32)).astype(x_dtype)
+    w = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32)).astype(w_dtype)
+    bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32)).astype(w_dtype)
+    y = depthwise_conv1d(x, w, bias, padding=2, is_bhl=True)
+    assert y.dtype == x_dtype
+    y_ref = _ref_conv1d(x, w, bias, 2)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref, np.float32), atol=1e-1
+    )
+
+
+def test_backward(rng):
+    b, d, l, k = 2, 8, 64, 3
+    x = jnp.asarray(rng.standard_normal((b, d, l)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
+
+    def loss_mine(x, w, bias):
+        return jnp.sum(depthwise_conv1d(x, w, bias, padding=1, is_bhl=True) ** 2)
+
+    def loss_ref(x, w, bias):
+        return jnp.sum(_ref_conv1d(x, w, bias, 1) ** 2)
+
+    g = jax.grad(loss_mine, argnums=(0, 1, 2))(x, w, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, bias)
+    for a, b_ in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
+
+
+def test_even_kernel_raises(rng):
+    x = jnp.ones((1, 4, 16))
+    w = jnp.ones((4, 4))
+    with pytest.raises(ValueError):
+        depthwise_conv1d(x, w, None, padding=1)
+
+
+def test_module(rng):
+    d, k = 8, 5
+    w = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
+    bias = jnp.zeros((d,))
+    mod = FlashDepthWiseConv1d(d, k, padding=2, weights=w, bias=bias, is_bhl=True)
+    x = jnp.asarray(rng.standard_normal((2, d, 32)).astype(np.float32))
+    y = mod(x)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(_ref_conv1d(x, w, bias, 2)), atol=1e-5
+    )

@@ -1,0 +1,72 @@
+"""Unit tests for FFT plan construction and the Monarch transform algebra."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashfftconv_tpu.ops.monarch_xla import monarch_dft, monarch_idft
+from flashfftconv_tpu.ops.plan import (
+    default_factors,
+    is_supported_seqlen,
+    kf_permute,
+    kf_unpermute,
+    make_plan,
+)
+
+ALL_SIZES = [1 << m for m in range(8, 23)]  # 256 .. 4M
+
+
+def test_default_factors_cover_all_sizes():
+    for n in ALL_SIZES:
+        fs = default_factors(n)
+        assert np.prod(fs) == n
+        assert all(f <= 256 for f in fs[-2:])
+        assert is_supported_seqlen(n)
+
+
+@pytest.mark.parametrize("bad", [128, 255, 300, 8 * 1024 * 1024])
+def test_unsupported_sizes_raise(bad):
+    with pytest.raises(ValueError):
+        default_factors(bad)
+
+
+@pytest.mark.parametrize("n", [256, 512, 1024, 2048, 4096, 16384, 65536])
+def test_monarch_dft_matches_fft(rng, n):
+    plan = make_plan(n, compute_dtype=jnp.float32)
+    x = rng.standard_normal((2, 3, n)).astype(np.float32)
+    xre, xim = monarch_dft(plan, jnp.asarray(x))
+    got = np.asarray(kf_unpermute(xre + 1j * xim, plan.factors))
+    ref = np.fft.fft(x)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=3e-6)
+
+
+@pytest.mark.parametrize("n", [256, 2048, 32768, 131072])
+def test_monarch_roundtrip(rng, n):
+    plan = make_plan(n, compute_dtype=jnp.float32)
+    x = rng.standard_normal((1, 2, n)).astype(np.float32)
+    xre, xim = monarch_dft(plan, jnp.asarray(x))
+    rre, rim = monarch_idft(plan, xre, xim)
+    np.testing.assert_allclose(np.asarray(rre), x, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rim), 0.0, atol=2e-5)
+
+
+def test_kf_permute_roundtrip(rng):
+    factors = (4, 8, 16)
+    n = 512
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    p = kf_permute(jnp.asarray(x), factors)
+    assert p.shape == (3, 4, 8, 16)
+    back = kf_unpermute(p, factors)
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_custom_factors(rng):
+    n = 4096
+    plan = make_plan(n, compute_dtype=jnp.float32, factors=(16, 16, 16))
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    xre, xim = monarch_dft(plan, jnp.asarray(x))
+    got = np.asarray(kf_unpermute(xre + 1j * xim, plan.factors))
+    ref = np.fft.fft(x)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=3e-6)
