@@ -1,0 +1,106 @@
+"""Headline benchmark: FlashFFTConv-TPU vs jnp.fft convolution on the attached chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
+the geometric-mean speedup of the gated forward conv over the jnp.fft oracle
+across seqlens (the reference's headline is the same comparison vs PyTorch FFT
+conv, README.md:224-231; BASELINE.json targets >=4x at 32K-1M).
+
+Shapes follow the reference benchmark methodology: B=16/H=768-class workloads
+with B,H capped at large seqlens (benchmarks/benchmark_flashfftconv.py:28-59),
+bf16 activations, f32 kernels. Override sizes with BENCH_SIZES=comma,list.
+Diagnostics go to stderr; only the JSON line goes to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def set_b_h(seqlen: int) -> tuple[int, int]:
+    """B/H caps per seqlen, scaled for a 16 GB v5e chip (reference caps are for
+    40-80 GB GPUs; tests/test_flashfftconv.py:15-46)."""
+    if seqlen <= 4096:
+        return 16, 768
+    if seqlen <= 32768:
+        return 8, 768
+    if seqlen <= 131072:
+        return 2, 384
+    if seqlen <= 524288:
+        return 1, 192
+    if seqlen <= 1048576:
+        return 1, 96
+    return 1, 32
+
+
+def timeit(f, *args, iters=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = f(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = f(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import flashfftconv_tpu as ff
+
+    sizes = [int(s) for s in os.environ.get("BENCH_SIZES", "1024,4096,32768,262144").split(",")]
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    rng = np.random.default_rng(0)
+
+    speedups = []
+    details = {}
+    for n in sizes:
+        b, h = set_b_h(n)
+        u = jnp.asarray(rng.standard_normal((b, h, n)).astype(np.float32) * 0.02).astype(jnp.bfloat16)
+        k = jnp.asarray(
+            (rng.standard_normal((h, n)) * 0.02 * np.exp(-0.1 * np.arange(n))).astype(np.float32)
+        )
+        pre = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32) * 0.02).astype(jnp.bfloat16)
+        post = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32) * 0.02).astype(jnp.bfloat16)
+
+        conv = ff.FlashFFTConv(n, dtype=jnp.bfloat16)
+        mine = jax.jit(lambda u, k, pre, post: conv(u, k, pre, post))
+        orac = jax.jit(lambda u, k, pre, post: ff.fft_conv_reference(n, u, k, pre, post))
+
+        t_mine = timeit(mine, u, k, pre, post, iters=iters)
+        t_ref = timeit(orac, u, k, pre, post, iters=iters)
+        sp = t_ref / t_mine
+        speedups.append(sp)
+        details[n] = {"flash_ms": t_mine * 1e3, "jnpfft_ms": t_ref * 1e3, "speedup": sp}
+        log(f"N={n} B={b} H={h}: flash {t_mine*1e3:.2f} ms, jnp.fft {t_ref*1e3:.2f} ms, {sp:.2f}x")
+
+    value = float(np.exp(np.mean(np.log(speedups))))
+    log("details:", json.dumps(details))
+    print(
+        json.dumps(
+            {
+                "metric": "gated_fftconv_speedup_vs_jnpfft_geomean",
+                "value": round(value, 3),
+                "unit": "x",
+                "vs_baseline": round(value, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

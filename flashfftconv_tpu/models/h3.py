@@ -1,0 +1,110 @@
+"""H3 operator with long-conv kernels on FlashFFTConv (flax).
+
+Port of the reference's H3Conv
+(/root/reference/examples/hyena/src/models/sequence/h3_conv.py:20-141) and its
+LongConvKernel (src/models/sequence/long_conv_kernel.py:8-77):
+
+  q, k, v = projections(u)
+  k <- shift-conv(k, k_kernel) + k_D * k          (the "shift SSM")
+  y <- conv(k*v, ssm_kernel) + D * (k*v)          (the "diagonal SSM")
+  out = output_linear(q * y)                       (head_dim=1; general
+                                                    head_dim sums over d1)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from flashfftconv_tpu.ops import dispatch
+from flashfftconv_tpu.ops.plan import get_plan
+
+
+class LongConvKernel(nn.Module):
+    """Learnable long-conv kernel with squash operator
+    relu(|k| - lam) * sign(k) (long_conv_kernel.py:69-77)."""
+
+    h: int
+    l_max: int
+    channels: int = 1
+    lam: float = 0.1
+    causal: bool = True
+    kernel_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, deterministic: bool = True):
+        length = self.l_max if self.causal else 2 * self.l_max
+        k = self.param(
+            "kernel",
+            lambda key, shape: jax.random.normal(key, shape) * 0.002,
+            (self.channels, self.h, length),
+        )
+        k = nn.relu(jnp.abs(k) - self.lam) * jnp.sign(k)
+        if self.kernel_dropout > 0:
+            k = nn.Dropout(rate=self.kernel_dropout)(k, deterministic=deterministic)
+        return k
+
+
+class H3Operator(nn.Module):
+    d_model: int
+    l_max: int
+    head_dim: int = 1
+    kernel_lam: float = 0.1
+    conv_dtype: Any = jnp.bfloat16
+    impl: str = "auto"
+    dropout: float = 0.0  # absorbed, parity with the reference signature
+
+    @nn.compact
+    def __call__(self, u, deterministic: bool = True):
+        # u: (B, L, D)
+        b, l, d = u.shape
+        assert d == self.d_model and d % self.head_dim == 0
+        n_heads = d // self.head_dim
+        seqlen = 2 * self.l_max
+        plan = get_plan(seqlen, jnp.dtype(self.conv_dtype).name)
+        conv = lambda x, k: dispatch.fft_conv(plan, x, k, impl=self.impl)
+
+        q = nn.Dense(d, dtype=u.dtype, name="q_proj")(u)
+        k = nn.Dense(d, dtype=u.dtype, name="k_proj")(u)
+        v = nn.Dense(d, dtype=u.dtype, name="v_proj")(u)
+        q, k, v = (jnp.swapaxes(x, -1, -2) for x in (q, k, v))  # (B, D, L)
+
+        k_kernel = LongConvKernel(
+            d, self.l_max, lam=self.kernel_lam, name="k_kernel"
+        )(deterministic)[0]
+        ssm_kernel = LongConvKernel(
+            d, self.l_max, lam=self.kernel_lam, name="kernel"
+        )(deterministic)[0]
+        k_d = self.param("k_D", nn.initializers.normal(1.0), (d,))
+        d_skip = self.param("D", nn.initializers.normal(1.0), (n_heads,))
+
+        # Shift SSM: k <- conv(k, k_kernel) + k_D * k (h3_conv.py:100-105).
+        k = conv(k, k_kernel) + k_d[None, :, None] * k
+
+        if self.head_dim == 1:
+            kv = k * v
+            y = conv(kv, ssm_kernel) + jnp.repeat(
+                d_skip, self.head_dim
+            )[None, :, None] * kv
+            y = y * q
+        else:
+            # kv: (B, d1, d2, Hh, L) outer product over head dims
+            # (h3_conv.py:118-135).
+            hd = self.head_dim
+            k_r = k.reshape(b, n_heads, hd, l)
+            v_r = v.reshape(b, n_heads, hd, l)
+            kv = k_r[:, :, :, None] * v_r[:, :, None, :]  # (B, Hh, d1, d2, L)
+            kv_flat = kv.reshape(b, n_heads * hd * hd, l)
+            ssm_rep = jnp.repeat(
+                ssm_kernel.reshape(n_heads, hd, l), hd, axis=1
+            ).reshape(n_heads * hd * hd, l)
+            y = conv(kv_flat, ssm_rep).reshape(b, n_heads, hd, hd, l)
+            y = y + kv * d_skip[None, :, None, None, None]
+            q_r = q.reshape(b, n_heads, hd, 1, l)
+            y = (y * q_r).sum(axis=2).reshape(b, d, l)
+
+        y = jnp.swapaxes(y, -1, -2)
+        return nn.Dense(d, dtype=u.dtype, name="output_linear")(y)

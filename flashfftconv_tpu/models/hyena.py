@@ -1,0 +1,107 @@
+"""Hyena operator on FlashFFTConv (flax).
+
+Port of the reference's FlashHyenaOperator
+(/root/reference/examples/hyena/src/models/sequence/hyena-flashfft.py:211-360)
+and the HyenaDNA variant (examples/hyena-dna/hyenadna_flashfftconv.py:215-289):
+input projection -> short depthwise conv -> Hyena recurrence of gated long
+convolutions with implicit filters -> output projection.
+
+The long convolutions run through one shared FftPlan per model at FFT size
+2*l_max (causal: zero-padded, no circular wrap), the model analog of the
+reference's single shared FlashFFTConv object (long_conv_lm.py:193-197).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from flashfftconv_tpu.models.filters import HyenaFilter
+from flashfftconv_tpu.ops import dispatch
+from flashfftconv_tpu.ops.depthwise import depthwise_conv1d
+from flashfftconv_tpu.ops.plan import get_plan
+
+
+class ShortDepthwiseConv(nn.Module):
+    """Learnable short depthwise conv (BHL), the flax analog of wrapping
+    nn.Conv1d weights in FlashDepthWiseConv1d (hyena-flashfft.py:295-306)."""
+
+    channels: int
+    kernel_size: int = 3
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, D, L)
+        w = self.param(
+            "weights",
+            nn.initializers.uniform(scale=2.0 / (self.channels**0.5)),
+            (self.channels, self.kernel_size),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return depthwise_conv1d(x, w, b, padding=self.padding, is_bhl=True)
+
+
+class HyenaOperator(nn.Module):
+    """Hyena recurrence of depth ``order`` (order=2 is the common x1*v conv x2
+    form used by M2/HyenaDNA)."""
+
+    d_model: int
+    l_max: int
+    order: int = 2
+    filter_order: int = 64
+    dropout: float = 0.0
+    filter_dropout: float = 0.0
+    short_filter_order: int = 3
+    conv_dtype: Any = jnp.bfloat16
+    impl: str = "auto"
+    filter_args: dict | None = None
+
+    @nn.compact
+    def __call__(self, u, deterministic: bool = True):
+        # u: (B, L, D)
+        b, l, d = u.shape
+        l_filter = min(l, self.l_max)
+        seqlen = 2 * self.l_max  # causal conv: FFT at 2x length
+        plan = get_plan(seqlen, jnp.dtype(self.conv_dtype).name)
+        conv = lambda x, k: dispatch.fft_conv(plan, x, k, impl=self.impl)
+
+        inner = (self.order + 1) * self.d_model
+        u = jnp.swapaxes(u, -1, -2)  # (B, D, L)
+        # In-projection without bias-add, pushed into the matmul like the
+        # reference (hyena-flashfft.py:337-339).
+        w_in = self.param(
+            "in_proj", nn.initializers.lecun_normal(), (inner, self.d_model)
+        )
+        x = jnp.einsum("od,bdl->bol", w_in.astype(u.dtype), u)
+
+        x = ShortDepthwiseConv(
+            inner, self.short_filter_order, padding=self.short_filter_order // 2,
+            name="short_filter",
+        )(x)[..., :l]
+
+        splits = jnp.split(x, self.order + 1, axis=1)
+        *gates, v = splits
+
+        filter_fn = HyenaFilter(
+            self.d_model * (self.order - 1),
+            order=self.filter_order,
+            seq_len=self.l_max,
+            dropout=self.filter_dropout,
+            **(self.filter_args or {}),
+            name="filter",
+        )
+        k = filter_fn(l_filter)  # (1, L, (order-1)*D)
+        k = k[0].T.reshape(self.order - 1, self.d_model, l_filter)  # (o, D, L)
+        bias = filter_fn.bias.reshape(self.order - 1, self.d_model)
+
+        # Recurrence (safari hyena.py form): v <- conv(v * x_i, k_o) + b_o*(v*x_i)
+        for o, gate in enumerate(reversed(gates[1:])):
+            v = nn.Dropout(rate=self.dropout)(v * gate, deterministic=deterministic)
+            v = conv(v, k[o]) + bias[o][None, :, None] * v
+        y = v * gates[0]
+
+        y = jnp.swapaxes(y, -1, -2)  # (B, L, D)
+        return nn.Dense(self.d_model, dtype=u.dtype, name="out_proj")(y)

@@ -1,0 +1,160 @@
+"""Causal language model backbone over long-conv sequence mixers (flax).
+
+The TPU port of the reference's LM stack used by both the Hyena LM
+(/root/reference/examples/hyena/src/models/sequence/long_conv_lm.py:146-301)
+and HyenaDNA (examples/hyena-dna/hyenadna_flashfftconv.py:570-779): word
+embeddings -> n_layer pre-norm blocks (sequence mixer + MLP, residual adds,
+optionally in f32) -> final layer norm -> tied lm head.
+
+Mixer classes: HyenaOperator (models.hyena), MonarchMixerSequenceMixing
+(models.m2_bert), H3Operator (models.h3) — selected by name so configs stay
+registry-style (the reference's `_name_` registry, SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from flashfftconv_tpu.models.hyena import HyenaOperator
+from flashfftconv_tpu.models.m2_bert import BlockdiagLinear, MonarchMixerSequenceMixing
+
+
+def get_mixer_cls(name: str):
+    from flashfftconv_tpu.models.h3 import H3Operator
+
+    return {
+        "hyena": HyenaOperator,
+        "m2": MonarchMixerSequenceMixing,
+        "h3": H3Operator,
+    }[name]
+
+
+class Mlp(nn.Module):
+    """Transformer MLP; set nblocks > 0 for the M2 block-diagonal (Monarch)
+    variant (the reference's fused_mlp / BlockdiagLinear MLPs)."""
+
+    d_inner: int
+    d_model: int
+    nblocks: int = 0
+    activation: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, x):
+        dense = (
+            (lambda f, name: BlockdiagLinear(f, nblocks=self.nblocks, name=name))
+            if self.nblocks
+            else (lambda f, name: nn.Dense(f, dtype=x.dtype, name=name))
+        )
+        y = dense(self.d_inner, "fc1")(x)
+        y = self.activation(y.astype(jnp.float32)).astype(x.dtype)
+        return dense(self.d_model, "fc2")(y)
+
+
+class Block(nn.Module):
+    """Pre-norm block: LN -> mixer -> dropout -> +res; LN -> MLP -> dropout -> +res.
+    Residuals carried in f32 (the reference's residual_in_fp32)."""
+
+    d_model: int
+    d_inner: int
+    mixer: str = "hyena"
+    mixer_kwargs: dict | None = None
+    resid_dropout: float = 0.0
+    mlp_nblocks: int = 0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dtype = x.dtype
+        res = x.astype(jnp.float32)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(res).astype(dtype)
+        h = get_mixer_cls(self.mixer)(
+            d_model=self.d_model, **(self.mixer_kwargs or {}), name="mixer"
+        )(h, deterministic=deterministic)
+        h = nn.Dropout(rate=self.resid_dropout)(h, deterministic=deterministic)
+        res = res + h.astype(jnp.float32)
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(res).astype(dtype)
+        h = Mlp(self.d_inner, self.d_model, nblocks=self.mlp_nblocks, name="mlp")(h)
+        h = nn.Dropout(rate=self.resid_dropout)(h, deterministic=deterministic)
+        res = res + h.astype(jnp.float32)
+        return res.astype(dtype)
+
+
+class LMBackbone(nn.Module):
+    d_model: int
+    n_layer: int
+    d_inner: int
+    vocab_size: int
+    l_max: int
+    mixer: str = "hyena"
+    mixer_kwargs: dict | None = None
+    embed_dropout: float = 0.1
+    resid_dropout: float = 0.0
+    mlp_nblocks: int = 0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids, deterministic: bool = True, embed: nn.Embed | None = None):
+        if embed is None:
+            embed = nn.Embed(
+                self.vocab_size, self.d_model, dtype=self.dtype, name="embeddings"
+            )
+        x = embed(input_ids)
+        x = nn.Dropout(rate=self.embed_dropout)(x, deterministic=deterministic)
+        mixer_kwargs = dict(self.mixer_kwargs or {})
+        mixer_kwargs.setdefault("l_max", self.l_max)
+        for i in range(self.n_layer):
+            x = Block(
+                d_model=self.d_model,
+                d_inner=self.d_inner,
+                mixer=self.mixer,
+                mixer_kwargs=mixer_kwargs,
+                resid_dropout=self.resid_dropout,
+                mlp_nblocks=self.mlp_nblocks,
+                name=f"block_{i}",
+            )(x, deterministic=deterministic)
+        return nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
+
+
+class ConvLMHeadModel(nn.Module):
+    """LM with tied embedding / lm-head weights (long_conv_lm.py:287-290)."""
+
+    d_model: int
+    n_layer: int
+    d_inner: int
+    vocab_size: int
+    l_max: int
+    mixer: str = "hyena"
+    mixer_kwargs: dict | None = None
+    embed_dropout: float = 0.1
+    resid_dropout: float = 0.0
+    mlp_nblocks: int = 0
+    pad_vocab_size_multiple: int = 8
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids, deterministic: bool = True):
+        vocab = self.vocab_size
+        if vocab % self.pad_vocab_size_multiple:
+            vocab += self.pad_vocab_size_multiple - vocab % self.pad_vocab_size_multiple
+        embed = nn.Embed(vocab, self.d_model, dtype=self.dtype, name="embeddings")
+        backbone = LMBackbone(
+            d_model=self.d_model,
+            n_layer=self.n_layer,
+            d_inner=self.d_inner,
+            vocab_size=vocab,
+            l_max=self.l_max,
+            mixer=self.mixer,
+            mixer_kwargs=self.mixer_kwargs,
+            embed_dropout=self.embed_dropout,
+            resid_dropout=self.resid_dropout,
+            mlp_nblocks=self.mlp_nblocks,
+            dtype=self.dtype,
+            name="backbone",
+        )
+        h = backbone(input_ids, deterministic=deterministic, embed=embed)
+        # Tied weights: the lm head attends against the embedding table.
+        return embed.attend(h.astype(embed.dtype)).astype(jnp.float32)

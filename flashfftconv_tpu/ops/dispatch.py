@@ -45,7 +45,13 @@ def resolve_impl(plan: FftPlan, impl: str = "auto") -> str:
         return impl
     if os.environ.get("FLASHFFTCONV_FORCE_XLA"):
         return "xla"
-    if _default_platform() == "tpu" and _pallas_supported(plan):
+    # Single-matmul (direct DFT) plans and small sizes run best as plain XLA
+    # einsums; the fused Pallas kernel wins from ~4K upward (measured on v5e).
+    if (
+        _default_platform() == "tpu"
+        and plan.seqlen >= 4096
+        and _pallas_supported(plan)
+    ):
         return "pallas"
     return "xla"
 

@@ -50,9 +50,17 @@ def is_supported_seqlen(seqlen: int) -> bool:
     )
 
 
+# Below this size a single (N, N) DFT matmul batched over B*H beats the
+# Monarch split on TPU: the MXU runs at full utilization (M = B*H, K = N)
+# while the Monarch stages would have contraction dims of 16-32 (~6% MXU
+# utilization) — the extra FLOPs are cheaper than the idle systolic array.
+DIRECT_MAX = 1024
+
+
 def default_factors(seqlen: int) -> tuple[int, ...]:
     """TPU-native factorization of a power-of-two FFT size.
 
+    <= DIRECT_MAX: one factor — a single dense DFT matmul (see DIRECT_MAX).
     <= 32K: two factors as close to square as possible (f1 >= f2), both <= 256.
     > 32K: an outer butterfly factor ``seqlen // MAX_INNER`` followed by the
     two-way split of the 32K inner FFT. (The reference uses outer factors
@@ -64,9 +72,14 @@ def default_factors(seqlen: int) -> tuple[int, ...]:
             f"[{MIN_SEQLEN}, {MAX_SEQLEN}]"
         )
     m = seqlen.bit_length() - 1
+    if seqlen <= DIRECT_MAX:
+        return (seqlen,)
     if seqlen <= MAX_INNER:
-        f1 = 1 << ((m + 1) // 2)
-        f2 = 1 << (m // 2)
+        # f2 = 128 keeps the minor (lane) dimension exactly one MXU/VPU lane
+        # tile wide at every size; f1 = N/128 in [16, 256] is the stage-1
+        # contraction dim.
+        f2 = 128
+        f1 = seqlen // f2
         assert f1 * f2 == seqlen and f1 <= _MAX_FACTOR
         return (f1, f2)
     outer = seqlen // MAX_INNER

@@ -1,0 +1,89 @@
+"""Device-mesh parallelism helpers (DP / TP / SP) — the TPU-native equivalent
+of the reference's entire NCCL/apex/Lightning distributed stack (SURVEY.md
+§2.6, §5.8): data parallelism (DDP/ZeRO), Megatron tensor parallelism
+(Column/RowParallelLinear) and Megatron sequence parallelism all become
+sharding annotations over a jax.sharding.Mesh; XLA GSPMD inserts the
+collectives (psum/all-gather/reduce-scatter) over ICI.
+
+Long sequences stay on-chip via the Monarch decomposition (as in the
+reference); the mesh shards batch ('dp') and channels/heads ('tp') — the
+depthwise conv is embarrassingly parallel over H, which is how the TPU build
+escapes the reference's B/H memory caps at large N (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    axis_sizes: Sequence[int] | None = None,
+    axis_names: Sequence[str] = ("dp", "tp"),
+    devices=None,
+) -> Mesh:
+    """Create a Mesh over the available devices.
+
+    With the default axis_sizes=None, all devices go to 'dp' except a best
+    -effort 'tp' factor of min(n, largest power of two <= sqrt(n))... kept
+    simple: dp = n // tp, tp = 1 unless specified.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if axis_sizes is None:
+        axis_sizes = (n,) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(axis_sizes)) != n:
+        raise ValueError(f"axis sizes {axis_sizes} do not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(*axis_sizes)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0, dp_axis: str = "dp"):
+    """NamedSharding that shards only the batch dimension over 'dp'."""
+    spec = [None] * ndim
+    spec[batch_axis] = dp_axis
+    return NamedSharding(mesh, P(*spec))
+
+
+# Default tensor-parallel sharding rules for model parameters, keyed by
+# regex on the flattened param path. Mirrors Megatron TP: Dense kernels are
+# column-parallel (output dim sharded), conv kernels shard channels H.
+DEFAULT_TP_RULES: tuple[tuple[str, tuple[str | None, ...]], ...] = (
+    (r".*output_linear.*kernel$", (None, "tp")),   # Dense (in, out) -> column-parallel
+    (r".*layer_\d+/kernel$", (None, "tp", None)),  # long-conv kernel (C, H, 2L)
+    (r".*layer_\d+/D$", (None, "tp")),             # skip weights (C, H)
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        parts.append(str(getattr(p, "key", getattr(p, "name", getattr(p, "idx", p)))))
+    return "/".join(parts)
+
+
+def param_shardings(mesh: Mesh, params, rules=DEFAULT_TP_RULES):
+    """Build a NamedSharding pytree for params: TP rules where they match,
+    fully replicated otherwise."""
+
+    def shard_one(path, leaf):
+        ps = _path_str(path)
+        for pattern, spec in rules:
+            if re.match(pattern, ps) and len(spec) == leaf.ndim:
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(shard_one, params)
+
+
+def sequence_sharding(mesh: Mesh, ndim: int, seq_axis: int = -1, sp_axis: str = "tp"):
+    """Megatron-style sequence parallelism for pointwise blocks: shard the
+    sequence axis (the conv itself is never sequence-sharded, matching the
+    reference; SURVEY.md §2.6)."""
+    spec = [None] * ndim
+    spec[seq_axis % ndim] = sp_axis
+    return NamedSharding(mesh, P(*spec))

@@ -1,0 +1,192 @@
+"""Smoke + correctness tests for the model zoo (LongConv, Hyena, M2, H3, LM).
+
+Mirrors the reference's model-level coverage (SURVEY.md §2.5): each mixer
+initializes, runs forward at the right shapes, and trains one step with
+finite loss/grads. Uses the XLA impl on small shapes (CPU-friendly).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashfftconv_tpu.models.filters import HyenaFilter, positional_embedding
+from flashfftconv_tpu.models.h3 import H3Operator
+from flashfftconv_tpu.models.hyena import HyenaOperator
+from flashfftconv_tpu.models.lm import ConvLMHeadModel
+from flashfftconv_tpu.models.long_conv import LongConv, LongConvModel
+from flashfftconv_tpu.models.m2_bert import (
+    BlockdiagLinear,
+    MonarchMixerSequenceMixing,
+    bidirectional_kernel,
+    blockdiag_multiply,
+)
+
+B, L, D = 2, 128, 32
+KW = dict(conv_dtype=jnp.float32, impl="xla")
+
+
+def _init_and_run(model, x, **call_kwargs):
+    params = model.init(jax.random.PRNGKey(0), x, **call_kwargs)["params"]
+    y = model.apply({"params": params}, x, **call_kwargs)
+    assert np.isfinite(np.asarray(y, np.float32)).all()
+    return params, y
+
+
+def _grad_check(model, params, x):
+    def loss(p):
+        return jnp.sum(model.apply({"params": p}, x).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(a, np.float32)).all() for a in flat)
+    assert any(float(jnp.abs(a.astype(jnp.float32)).max()) > 0 for a in flat)
+
+
+def test_positional_embedding_shapes():
+    z, t = positional_embedding(5, 64)
+    assert z.shape == (1, 64, 5) and t.shape == (1, 64, 1)
+    with pytest.raises(ValueError):
+        positional_embedding(4, 64)
+
+
+def test_hyena_filter(rng):
+    f = HyenaFilter(d_model=D, seq_len=L)
+    params = f.init(jax.random.PRNGKey(0), L)["params"]
+    k = f.apply({"params": params}, L)
+    assert k.shape == (1, L, D)
+    assert np.isfinite(np.asarray(k)).all()
+
+
+def test_blockdiag_multiply_matches_dense(rng):
+    nblocks, p, q = 4, 8, 8
+    x = jnp.asarray(rng.standard_normal((3, nblocks * p)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((nblocks, q, p)).astype(np.float32))
+    y = blockdiag_multiply(x, w)
+    # dense equivalent: block-diagonal matrix
+    dense = np.zeros((nblocks * q, nblocks * p), np.float32)
+    for i in range(nblocks):
+        dense[i * q : (i + 1) * q, i * p : (i + 1) * p] = np.asarray(w[i])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ dense.T, atol=1e-5)
+
+
+def test_bidirectional_kernel(rng):
+    k_fwd = jnp.asarray(rng.standard_normal((D, L)).astype(np.float32))
+    k_rev = jnp.asarray(rng.standard_normal((D, L)).astype(np.float32))
+    k = bidirectional_kernel(k_fwd, k_rev, L)
+    assert k.shape == (D, 2 * L)
+    np.testing.assert_array_equal(np.asarray(k[:, :L]), np.asarray(k_fwd))
+    np.testing.assert_array_equal(np.asarray(k[:, L:]), np.asarray(k_rev)[:, ::-1])
+
+
+def test_long_conv_layer(rng):
+    x = jnp.asarray(rng.standard_normal((B, D, L)).astype(np.float32)) * 0.1
+    model = LongConv(h=D, l_max=L, **KW)
+    params, y = _init_and_run(model, x)
+    assert y.shape == (B, D, L)
+    _grad_check(model, params, x)
+
+
+def test_long_conv_model(rng):
+    x = jnp.asarray(rng.standard_normal((B, L, 3)).astype(np.float32))
+    model = LongConvModel(d_input=3, d_model=D, n_layers=2, l_max=L, **KW)
+    params, y = _init_and_run(model, x)
+    assert y.shape == (B, 10)
+    _grad_check(model, params, x)
+
+
+def test_hyena_operator(rng):
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32)) * 0.1
+    model = HyenaOperator(d_model=D, l_max=L, **KW)
+    params, y = _init_and_run(model, x)
+    assert y.shape == (B, L, D)
+    _grad_check(model, params, x)
+
+
+def test_hyena_operator_order3(rng):
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32)) * 0.1
+    model = HyenaOperator(d_model=D, l_max=L, order=3, **KW)
+    _, y = _init_and_run(model, x)
+    assert y.shape == (B, L, D)
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+@pytest.mark.parametrize("residual_long_conv", [False, True])
+def test_m2_mixer(rng, bidirectional, residual_long_conv):
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32)) * 0.1
+    model = MonarchMixerSequenceMixing(
+        d_model=D,
+        l_max=L,
+        bidirectional=bidirectional,
+        residual_long_conv=residual_long_conv,
+        **KW,
+    )
+    params, y = _init_and_run(model, x)
+    assert y.shape == (B, L, D)
+    _grad_check(model, params, x)
+
+
+def test_m2_mixer_inference_mode(rng):
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32)) * 0.1
+    model = MonarchMixerSequenceMixing(d_model=D, l_max=L, inference_mode=True, **KW)
+    _, y = _init_and_run(model, x)
+    assert y.shape == (B, L, D)
+
+
+@pytest.mark.parametrize("head_dim", [1, 2])
+def test_h3_operator(rng, head_dim):
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32)) * 0.1
+    model = H3Operator(d_model=D, l_max=L, head_dim=head_dim, **KW)
+    params, y = _init_and_run(model, x)
+    assert y.shape == (B, L, D)
+    if head_dim == 1:
+        _grad_check(model, params, x)
+
+
+@pytest.mark.parametrize("mixer", ["hyena", "h3", "m2"])
+def test_lm_head_model(rng, mixer):
+    vocab = 64
+    ids = jnp.asarray(rng.integers(0, vocab, (B, L)))
+    model = ConvLMHeadModel(
+        d_model=D,
+        n_layer=2,
+        d_inner=2 * D,
+        vocab_size=vocab,
+        l_max=L,
+        mixer=mixer,
+        mixer_kwargs=KW,
+        dtype=jnp.float32,
+    )
+    params = model.init(jax.random.PRNGKey(0), ids)["params"]
+    logits = model.apply({"params": params}, ids)
+    assert logits.shape == (B, L, 64 + 0 if vocab % 8 == 0 else -1) or logits.shape[-1] >= vocab
+    assert np.isfinite(np.asarray(logits)).all()
+
+    def loss(p):
+        lg = model.apply({"params": p}, ids)
+        logp = jax.nn.log_softmax(lg)
+        return -jnp.take_along_axis(logp, ids[..., None], axis=-1).mean()
+
+    l0, g = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(l0))
+    assert all(
+        np.isfinite(np.asarray(a, np.float32)).all()
+        for a in jax.tree_util.tree_leaves(g)
+    )
+
+
+def test_lm_weight_tying(rng):
+    """lm head must attend against the embedding table (tied weights)."""
+    vocab = 64
+    ids = jnp.asarray(rng.integers(0, vocab, (1, L)))
+    model = ConvLMHeadModel(
+        d_model=D, n_layer=1, d_inner=D, vocab_size=vocab, l_max=L,
+        mixer="hyena", mixer_kwargs=KW, dtype=jnp.float32,
+    )
+    params = model.init(jax.random.PRNGKey(0), ids)["params"]
+    names = jax.tree_util.tree_map_with_path(lambda p, x: None, params)
+    flat = ["/".join(str(getattr(k, "key", k)) for k in path)
+            for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    # exactly one embedding table, no separate lm_head kernel
+    assert any("embedding" in f for f in flat)
+    assert not any("lm_head" in f for f in flat)

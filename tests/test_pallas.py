@@ -1,0 +1,85 @@
+"""Parity tests for the fused Pallas kernels (interpret mode on CPU, compiled
+on TPU) against the f32 jnp.fft oracle — forward and the custom-VJP backward,
+for both the single-kernel (<=32K) and three-stage (>=64K) paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashfftconv_tpu.ops import monarch_pallas as mp
+from flashfftconv_tpu.ops.monarch_xla import fft_conv_reference
+from flashfftconv_tpu.ops.plan import make_plan
+
+
+def _data(rng, b, h, length, gated=False):
+    u = jnp.asarray(rng.standard_normal((b, h, length)).astype(np.float32) * 0.02)
+    k = jnp.asarray(
+        (rng.standard_normal((h, length)) * 0.02 * np.exp(-0.1 * np.arange(length))).astype(
+            np.float32
+        )
+    )
+    if not gated:
+        return u, k
+    pre = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32) * 0.02)
+    post = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32) * 0.02)
+    return u, k, pre, post
+
+
+@pytest.mark.parametrize("seqlen", [2048, 8192, 32768, 65536])
+@pytest.mark.parametrize("padded", [False, True])
+def test_pallas_forward(rng, seqlen, padded):
+    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    assert mp.supported(plan)
+    length = seqlen // 2 if padded else seqlen
+    u, k = _data(rng, 2, 3, length)
+    y = mp.fft_conv_pallas(plan, u, k)
+    y_ref = fft_conv_reference(seqlen, u, k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("seqlen", [4096, 65536])
+@pytest.mark.parametrize("gated", [False, True])
+def test_pallas_grads(rng, seqlen, gated):
+    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    length = seqlen // 2
+    data = _data(rng, 2, 3, length, gated=gated)
+    dout = jnp.asarray(rng.standard_normal(data[0].shape).astype(np.float32) * 0.02)
+    argnums = tuple(range(len(data)))
+
+    g = jax.grad(
+        lambda *a: jnp.sum(mp.fft_conv_pallas(plan, *a) * dout), argnums=argnums
+    )(*data)
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=argnums
+    )(*data)
+    names = ["u", "k", "pre", "post"][: len(data)]
+    for n, a, b in zip(names, g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{n} at {seqlen}"
+        )
+
+
+def test_pallas_bf16_tolerance(rng):
+    """bf16 compute hits the reference tolerance bar (1e-2)."""
+    seqlen = 8192
+    plan = make_plan(seqlen, compute_dtype=jnp.bfloat16)
+    u, k = _data(rng, 2, 4, seqlen)
+    u = u.astype(jnp.bfloat16)
+    y = mp.fft_conv_pallas(plan, u, k)
+    y_ref = fft_conv_reference(seqlen, u, k)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref, np.float32), atol=1e-2
+    )
+
+
+def test_pallas_under_jit_and_dispatch(rng):
+    """dispatch impl='pallas' path works under jit."""
+    from flashfftconv_tpu.ops.dispatch import fft_conv
+
+    seqlen = 4096
+    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    u, k = _data(rng, 2, 3, seqlen)
+    y = jax.jit(lambda u, k: fft_conv(plan, u, k, impl="pallas"))(u, k)
+    y_ref = fft_conv_reference(seqlen, u, k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)

@@ -20,7 +20,9 @@ def test_default_factors_cover_all_sizes():
     for n in ALL_SIZES:
         fs = default_factors(n)
         assert np.prod(fs) == n
-        assert all(f <= 256 for f in fs[-2:])
+        # Single-factor plans are the direct-DFT path; multi-factor stages
+        # keep every factor small enough for VMEM-resident tables.
+        assert len(fs) == 1 or all(f <= 256 for f in fs[-2:])
         assert is_supported_seqlen(n)
 
 
