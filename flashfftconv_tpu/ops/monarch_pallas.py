@@ -82,8 +82,12 @@ def _conv_kernel(
     o_im_ref,  # None when real output
     *,
     compute_dtype,
+    packed=False,
 ):
-    """One (b, h) step: conv of a single (N1, N2) tile, fully in VMEM."""
+    """One (b, h) step: conv of a single (N1, N2) tile, fully in VMEM.
+
+    packed=True: u_re_ref/o_re_ref hold (2, 1, N1, N2) blocks — two real
+    signals convolved as one complex signal (real kernel)."""
 
     def mm(a, b):
         return jnp.dot(
@@ -111,8 +115,12 @@ def _conv_kernel(
     def cmul(are, aim, bre, bim):
         return are * bre - aim * bim, are * bim + aim * bre
 
-    xre = u_re_ref[0, 0]
-    xim = None if u_im_ref is None else u_im_ref[0, 0]
+    if packed:
+        xre = u_re_ref[0, 0]
+        xim = u_re_ref[1, 0]
+    else:
+        xre = u_re_ref[0, 0]
+        xim = None if u_im_ref is None else u_im_ref[0, 0]
 
     # Stage 1: DFT along n1 (rows), then twiddle.
     xre, xim = cmm_left(f1re_ref[...], f1im_ref[...], xre, xim)
@@ -124,7 +132,11 @@ def _conv_kernel(
     # Inverse stage 2, conjugate twiddle, inverse stage 1 (carries 1/N).
     xre, xim = cmm_right(xre, xim, if2re_ref[...], if2im_ref[...])
     xre, xim = cmul(xre, xim, w1re_ref[...], -w1im_ref[...])
-    if o_im_ref is None:
+    if packed:
+        re, im = cmm_left(if1re_ref[...], if1im_ref[...], xre, xim)
+        o_re_ref[0, 0] = re.astype(o_re_ref.dtype)
+        o_re_ref[1, 0] = im.astype(o_re_ref.dtype)
+    elif o_im_ref is None:
         re = mm(if1re_ref[...], xre) - mm(if1im_ref[...], xim)
         o_re_ref[0, 0] = re.astype(o_re_ref.dtype)
     else:
@@ -149,7 +161,9 @@ def _tables(plan: FftPlan, base: int = 0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan_factors", "compute_dtype", "complex_out", "out_dtype"),
+    static_argnames=(
+        "plan_factors", "compute_dtype", "complex_out", "out_dtype", "packed"
+    ),
 )
 def _conv_tiles(
     u4_re,
@@ -161,19 +175,33 @@ def _conv_tiles(
     compute_dtype,
     complex_out,
     out_dtype,
+    packed=False,
 ):
     """Run the fused kernel over (B, H, N1, N2) tiles.
 
     u4_im may be None (real input). Returns (o_re, o_im) with o_im None unless
     complex_out.
+
+    packed=True: real-pair packing done inside the kernel — each grid step
+    reads a (2, 1, N1, N2) block (two consecutive batch rows), convolves them
+    as one complex signal (k is real, so conv(u0 + i*u1, k) splits exactly),
+    and writes both real outputs back. Halves the grid with zero extra
+    HBM passes. Requires even B, real input/output.
     """
     b, h, n1, n2 = u4_re.shape
     assert plan_factors == (n1, n2)
 
-    grid = (h, b)
-    tile_spec = pl.BlockSpec(
-        (1, 1, n1, n2), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM
-    )
+    if packed:
+        assert u4_im is None and not complex_out and b % 2 == 0
+        grid = (h, b // 2)
+        tile_spec = pl.BlockSpec(
+            (2, 1, n1, n2), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        grid = (h, b)
+        tile_spec = pl.BlockSpec(
+            (1, 1, n1, n2), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM
+        )
     kf_spec = pl.BlockSpec(
         (1, n1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -195,7 +223,7 @@ def _conv_tiles(
 
     def kernel(*refs):
         i = 0
-        u_re = refs[i]; i += 1
+        u_ref = refs[i]; i += 1
         u_im = None
         if u4_im is not None:
             u_im = refs[i]; i += 1
@@ -203,12 +231,13 @@ def _conv_tiles(
             i : i + 12
         ]
         i += 12
-        o_re = refs[i]; i += 1
+        o_ref = refs[i]; i += 1
         o_im = refs[i] if complex_out else None
         _conv_kernel(
-            u_re, u_im, kfr, kfi, f1r, f1i, w1r, w1i, f2r, f2i,
-            if2r, if2i, if1r, if1i, o_re, o_im,
+            u_ref, u_im, kfr, kfi, f1r, f1i, w1r, w1i, f2r, f2i,
+            if2r, if2i, if1r, if1i, o_ref, o_im,
             compute_dtype=jnp.dtype(compute_dtype),
+            packed=packed,
         )
 
     flops_per_step = 2 * (4 * n1 * n1 * n2 + 4 * n1 * n2 * n2 + 2 * n1 * n1 * n2)
@@ -230,13 +259,22 @@ def _conv_tiles(
     return outs, None
 
 
-def _layout(plan: FftPlan, x: jax.Array) -> jax.Array:
-    """(..., L<=N) -> (..., N1, N2) f32, zero-padded (the implicit causal
+def _io_dtype(plan: FftPlan, x_dtype):
+    """Kernel HBM I/O dtype: keep bf16/f16 activations narrow (halves DMA
+    bytes; matmul operands are cast to the compute dtype regardless), f32
+    compute keeps f32 I/O."""
+    if plan.compute_dtype == jnp.float32:
+        return jnp.float32
+    return jnp.dtype(x_dtype) if jnp.dtype(x_dtype).itemsize <= 2 else jnp.float32
+
+
+def _layout(plan: FftPlan, x: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """(..., L<=N) -> (..., N1, N2), zero-padded (the implicit causal
     padding; XLA fuses this with the layout copy)."""
     n = plan.seqlen
     n1, n2 = plan.factors
     length = x.shape[-1]
-    x = x.astype(jnp.float32)
+    x = x.astype(dtype)
     if length < n:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - length)])
     return x.reshape(*x.shape[:-1], n1, n2)
@@ -246,6 +284,159 @@ def _unlayout(plan: FftPlan, x4: jax.Array, length: int) -> jax.Array:
     n = plan.seqlen
     x = x4.reshape(*x4.shape[:-2], n)
     return x[..., :length]
+
+
+def _bwd_kernel(
+    u_ref,
+    g_ref,
+    kf_re_ref,
+    kf_im_ref,
+    f1re_ref,
+    f1im_ref,
+    w1re_ref,
+    w1im_ref,
+    f2re_ref,
+    f2im_ref,
+    if2re_ref,
+    if2im_ref,
+    if1re_ref,
+    if1im_ref,
+    du_ref,
+    y_ref,  # None when ungated (no postgate cotangent needed)
+    dk_re_ref,
+    dk_im_ref,
+    *,
+    compute_dtype,
+):
+    """Fused backward step for one (b, h): recompute U = DFT(u), G = DFT(g),
+    emit du = IDFT(G * conj(K)), y = IDFT(U * K) (for dpostgate), and
+    accumulate dk_f += G * conj(U) across the batch grid axis.
+
+    The TPU analog of the reference's fused backward
+    (kernels_fp16/monarch_cuda_bwd_kernel.h:417-463): same
+    recompute-in-backward policy, with the per-B-tile dk_f partial summation
+    done by grid-carried VMEM accumulation instead of a host-side sum
+    (monarch_cuda_interface_bwd.cu:157-179)."""
+
+    def mm(a, b):
+        return jnp.dot(
+            a.astype(compute_dtype),
+            b.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    def cmul(are, aim, bre, bim):
+        return are * bre - aim * bim, are * bim + aim * bre
+
+    f1re, f1im = f1re_ref[...], f1im_ref[...]
+    w1re, w1im = w1re_ref[...], w1im_ref[...]
+    f2re, f2im = f2re_ref[...], f2im_ref[...]
+    if2re, if2im = if2re_ref[...], if2im_ref[...]
+    if1re, if1im = if1re_ref[...], if1im_ref[...]
+    kre, kim = kf_re_ref[0], kf_im_ref[0]
+
+    def fwd_dft(x):
+        # real (N1, N2) -> planar spectrum
+        xre, xim = mm(f1re, x), mm(f1im, x)
+        xre, xim = cmul(xre, xim, w1re, w1im)
+        return (
+            mm(xre, f2re) - mm(xim, f2im),
+            mm(xre, f2im) + mm(xim, f2re),
+        )
+
+    def inv_dft_real(xre, xim):
+        rr = mm(xre, if2re) - mm(xim, if2im)
+        ri = mm(xre, if2im) + mm(xim, if2re)
+        rr, ri = cmul(rr, ri, w1re, -w1im)
+        return mm(if1re, rr) - mm(if1im, ri)
+
+    ure, uim = fwd_dft(u_ref[0, 0])
+    gre, gim = fwd_dft(g_ref[0, 0])
+
+    # dk_f partial: G * conj(U), accumulated across the (minor) batch axis.
+    pre_, pim_ = gre * ure + gim * uim, gim * ure - gre * uim
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dk_re_ref[0] = pre_
+        dk_im_ref[0] = pim_
+
+    @pl.when(j > 0)
+    def _():
+        dk_re_ref[0] += pre_
+        dk_im_ref[0] += pim_
+
+    # du = IDFT(G * conj(K)) — circular correlation.
+    dre, dim = cmul(gre, gim, kre, -kim)
+    du_ref[0, 0] = inv_dft_real(dre, dim).astype(du_ref.dtype)
+
+    if y_ref is not None:
+        yre, yim = cmul(ure, uim, kre, kim)
+        y_ref[0, 0] = inv_dft_real(yre, yim).astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan_factors", "compute_dtype", "need_y", "io_dtype")
+)
+def _bwd_tiles(
+    u4, g4, kf_re, kf_im, tables, plan_factors, compute_dtype, need_y, io_dtype
+):
+    """Run the fused backward kernel over (B, H, N1, N2) tiles. Returns
+    (du4, y4 | None, dkf_re, dkf_im) with dk accumulated over B."""
+    b, h, n1, n2 = u4.shape
+    assert plan_factors == (n1, n2)
+    grid = (h, b)
+    tile_spec = pl.BlockSpec(
+        (1, 1, n1, n2), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    kf_spec = pl.BlockSpec((1, n1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    out_shape = [jax.ShapeDtypeStruct((b, h, n1, n2), io_dtype)]
+    out_specs = [tile_spec]
+    if need_y:
+        out_shape.append(jax.ShapeDtypeStruct((b, h, n1, n2), io_dtype))
+        out_specs.append(tile_spec)
+    out_shape += [jax.ShapeDtypeStruct((h, n1, n2), jnp.float32)] * 2
+    out_specs += [kf_spec, kf_spec]
+
+    def kernel(*refs):
+        u_ref, g_ref, kfr, kfi = refs[:4]
+        tbl = refs[4:14]
+        outs = refs[14:]
+        if need_y:
+            du_ref, y_ref, dkr, dki = outs
+        else:
+            du_ref, dkr, dki = outs
+            y_ref = None
+        _bwd_kernel(
+            u_ref, g_ref, kfr, kfi, *tbl, du_ref, y_ref, dkr, dki,
+            compute_dtype=jnp.dtype(compute_dtype),
+        )
+
+    flops_per_step = 2 * (
+        2 * (2 * n1 * n1 * n2 + 4 * n1 * n2 * n2)  # two fwd DFTs
+        + (2 if need_y else 1) * (4 * n1 * n2 * n2 + 2 * n1 * n1 * n2)
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile_spec, tile_spec, kf_spec, kf_spec] + [table_spec] * 10,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_step * b * h,
+            bytes_accessed=(b * h * n1 * n2) * 24,
+            transcendentals=0,
+        ),
+    )(u4, g4, kf_re, kf_im, *tables)
+    if need_y:
+        du4, y4, dkr, dki = outs
+    else:
+        (du4, dkr, dki), y4 = outs, None
+    return du4, y4, dkr, dki
 
 
 def _outer_butterfly(plan: FftPlan, x: jax.Array):
@@ -288,7 +479,9 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
     ug = u if pregate is None else u * pregate
 
     if len(plan.factors) == 2:
-        u4 = _layout(plan, ug)
+        io = _io_dtype(plan, u.dtype)
+        u4 = _layout(plan, ug, dtype=io)
+        packed = u4.ndim == 4 and u4.shape[0] % 2 == 0 and u4.shape[0] >= 2
         o4, _ = _conv_tiles(
             u4,
             None,
@@ -298,9 +491,10 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
             plan_factors=plan.factors,
             compute_dtype=plan.compute_dtype_name,
             complex_out=False,
-            out_dtype=jnp.float32,
+            out_dtype=io,
+            packed=packed,
         )
-        out = _unlayout(plan, o4, length)
+        out = _unlayout(plan, o4, length).astype(jnp.float32)
     else:
         # Three-stage pipeline (64K-4M): butterfly -> fused inner complex
         # conv (one kernel per (h, chunk, b)) -> inverse butterfly.
@@ -351,15 +545,56 @@ def _gated_fwd(plan_key, u, k, pregate, postgate):
     )
 
 
+def _finish_dk(plan, dk_re, dk_im, k):
+    """(H, *factor axes) accumulated spectrum cotangent -> dk (H, k_len)."""
+    from flashfftconv_tpu.ops.plan import kf_unpermute
+
+    dk_f = kf_unpermute(dk_re + 1j * dk_im, plan.factors)
+    return jnp.fft.ifft(dk_f, axis=-1).real[..., : k.shape[-1]].astype(k.dtype)
+
+
 def _gated_bwd(plan_key, res, dout):
     plan = _PLAN_REGISTRY[plan_key]
     u, k, pregate, postgate = res
     length = u.shape[-1]
-    k_len = k.shape[-1]
     kf_re, kf_im = monarch_xla.kernel_spectrum(plan, k)
 
     g = dout if postgate is None else dout * postgate
-    # du (pre-gate) = circular correlation = conv with conj(k_f).
+    ug = u if pregate is None else u * pregate
+
+    if len(plan.factors) == 2 and u.ndim == 3:
+        # Fused backward kernel: one pass computes du, the recomputed y (for
+        # dpostgate) and the grid-accumulated dk_f partials.
+        io = _io_dtype(plan, u.dtype)
+        u4 = _layout(plan, ug, dtype=io)
+        g4 = _layout(plan, g, dtype=io)
+        du4, y4, dkr, dki = _bwd_tiles(
+            u4,
+            g4,
+            kf_re,
+            kf_im,
+            _tables(plan),
+            plan_factors=plan.factors,
+            compute_dtype=plan.compute_dtype_name,
+            need_y=postgate is not None,
+            io_dtype=io,
+        )
+        du_inner = _unlayout(plan, du4, length).astype(jnp.float32)
+        dk = _finish_dk(plan, dkr, dki, k)
+        if pregate is None:
+            du, dpre = du_inner.astype(u.dtype), None
+        else:
+            du = (du_inner * pregate.astype(jnp.float32)).astype(u.dtype)
+            dpre = (du_inner * u.astype(jnp.float32)).astype(pregate.dtype)
+        if postgate is None:
+            dpost = None
+        else:
+            y_inner = _unlayout(plan, y4, length).astype(jnp.float32)
+            dpost = (y_inner * dout.astype(jnp.float32)).astype(postgate.dtype)
+        return du, dk, dpre, dpost
+
+    # General path (3-factor pipeline): du via correlation conv, dk via the
+    # XLA Monarch transforms.
     du_inner = _conv_raw(plan, g, kf_re, -kf_im, None, None, jnp.float32)
     if pregate is None:
         du = du_inner.astype(u.dtype)
@@ -374,9 +609,6 @@ def _gated_bwd(plan_key, res, dout):
         y_inner = _conv_raw(plan, u, kf_re, kf_im, pregate, None, jnp.float32)
         dpost = (y_inner * dout.astype(jnp.float32)).astype(postgate.dtype)
 
-    # dk = ifft( sum_b FFT(g) * conj(FFT(pre*u)) ).real[:k_len]  (f32).
-    ug = u if pregate is None else u * pregate
-
     def _pad_full(x):
         x = x.astype(jnp.float32)
         if x.shape[-1] < plan.seqlen:
@@ -386,18 +618,10 @@ def _gated_bwd(plan_key, res, dout):
 
     ur, ui = monarch_xla.monarch_dft(plan, _pad_full(ug))
     gr, gi = monarch_xla.monarch_dft(plan, _pad_full(g))
-    # g_f * conj(u_f), summed over batch dims (all but the last two + H).
     dk_re = gr * ur + gi * ui
     dk_im = gi * ur - gr * ui
-    # Sum over leading batch dims, keeping (H, *factor axes).
     sum_axes = tuple(range(dk_re.ndim - 1 - len(plan.factors)))
-    dk_re = dk_re.sum(sum_axes)
-    dk_im = dk_im.sum(sum_axes)
-    from flashfftconv_tpu.ops.plan import kf_unpermute
-
-    dk_f = kf_unpermute(dk_re + 1j * dk_im, plan.factors)
-    dk = jnp.fft.ifft(dk_f, axis=-1).real[..., :k_len].astype(k.dtype)
-
+    dk = _finish_dk(plan, dk_re.sum(sum_axes), dk_im.sum(sum_axes), k)
     return du, dk, dpre, dpost
 
 

@@ -31,8 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MIN_SEQLEN = 256
-MAX_SEQLEN = 4 * 1024 * 1024  # 4,194,304 — parity with README.md:268 of the reference.
+# The reference supports 256..4M (README.md:268). We additionally allow tiny
+# sizes (16..128) through the direct-DFT path so short-context models work.
+MIN_SEQLEN = 16
+MAX_SEQLEN = 4 * 1024 * 1024
 
 # Largest factor we allow per Monarch stage. 256 keeps the per-stage DFT matrix
 # (256x256 complex f32 = 512 KB planar) comfortably in VMEM while giving the MXU

@@ -1,0 +1,88 @@
+"""Benchmark + profiling helpers.
+
+TPU-native equivalents of the reference's benchmark utilities
+(/root/reference/benchmarks/benchmark.py:8-50: torch.utils.benchmark wrappers
+benchmark_forward/backward/memory) and its pytorch_profiler helper:
+wall-clock timing under jit with block_until_ready, compiled-memory
+introspection via XLA's memory analysis, and jax.profiler trace capture
+(Chrome-trace / TensorBoard equivalent of the reference's Nsight/-lineinfo
+flow, SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def benchmark_forward(fn: Callable, *args, repeats: int = 10, warmup: int = 3,
+                      desc: str = "", verbose: bool = False):
+    """Median wall-clock of fn(*args) in ms, fully synchronized."""
+    f = jax.jit(fn) if not isinstance(fn, jax.stages.Wrapped) else fn
+    for _ in range(warmup):
+        out = f(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = f(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) * 1e3)
+    med = float(np.median(times))
+    if verbose:
+        print(f"{desc}: {med:.3f} ms")
+    return med
+
+
+def benchmark_backward(fn: Callable, *args, argnums=(0,), repeats: int = 10,
+                       warmup: int = 3, desc: str = "", verbose: bool = False):
+    """Median wall-clock of grad(sum(fn))(args) in ms (fwd+bwd)."""
+    g = jax.jit(
+        jax.grad(lambda *a: jnp.sum(fn(*a).astype(jnp.float32) ** 2), argnums=argnums)
+    )
+    return benchmark_forward(g, *args, repeats=repeats, warmup=warmup,
+                             desc=desc or "backward", verbose=verbose)
+
+
+def benchmark_memory(fn: Callable, *args, desc: str = "", verbose: bool = False):
+    """Peak temporary + output memory of the compiled fn in MB (XLA's static
+    memory analysis — the TPU analog of torch.cuda.max_memory_allocated)."""
+    compiled = jax.jit(fn).lower(*args).compile()
+    try:
+        analysis = compiled.memory_analysis()
+        total = (
+            analysis.temp_size_in_bytes
+            + analysis.output_size_in_bytes
+            + analysis.argument_size_in_bytes
+        )
+    except Exception:
+        return float("nan")
+    mb = total / 2**20
+    if verbose:
+        print(f"{desc}: {mb:.1f} MB")
+    return mb
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str = "/tmp/jax-trace"):
+    """jax.profiler trace context (view in TensorBoard / xprof / Perfetto)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def flops_estimate(fn: Callable, *args) -> float:
+    """XLA cost-analysis FLOPs of the compiled fn (the fvcore FlopCount
+    callback analog, SURVEY.md §5.1)."""
+    compiled = jax.jit(fn).lower(*args).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost.get("flops", float("nan")))

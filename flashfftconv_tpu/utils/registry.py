@@ -1,0 +1,67 @@
+"""String-keyed registry + config instantiation.
+
+The TPU port of the reference's `_name_`-keyed registry indirection
+(/root/reference/examples/hyena/src/utils/registry.py with
+src/utils/config.py's ``instantiate``): configs refer to components by short
+names; ``instantiate`` resolves the name, merges config kwargs with call-site
+kwargs, and constructs the object. Used by the example configs (plain
+dataclass/dict configs instead of Hydra, per SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Any, Callable
+
+_REGISTRIES: dict[str, dict[str, str | Callable]] = {
+    "layer": {
+        "hyena": "flashfftconv_tpu.models.hyena.HyenaOperator",
+        "h3": "flashfftconv_tpu.models.h3.H3Operator",
+        "m2": "flashfftconv_tpu.models.m2_bert.MonarchMixerSequenceMixing",
+        "long-conv": "flashfftconv_tpu.models.long_conv.LongConv",
+        "hyena-filter": "flashfftconv_tpu.models.filters.HyenaFilter",
+    },
+    "model": {
+        "lm": "flashfftconv_tpu.models.lm.ConvLMHeadModel",
+        "lm-backbone": "flashfftconv_tpu.models.lm.LMBackbone",
+        "long-conv-model": "flashfftconv_tpu.models.long_conv.LongConvModel",
+    },
+    "optimizer": {
+        "adamw": "optax.adamw",
+        "adam": "optax.adam",
+        "sgd": "optax.sgd",
+        "lamb": "optax.lamb",
+    },
+    "scheduler": {
+        "cosine": "optax.cosine_decay_schedule",
+        "constant": "optax.constant_schedule",
+        "warmup-cosine": "optax.warmup_cosine_decay_schedule",
+    },
+}
+
+
+def register(kind: str, name: str, target: str | Callable) -> None:
+    _REGISTRIES.setdefault(kind, {})[name] = target
+
+
+def lookup(kind: str, name: str) -> Callable:
+    try:
+        target = _REGISTRIES[kind][name]
+    except KeyError:
+        known = sorted(_REGISTRIES.get(kind, {}))
+        raise KeyError(f"unknown {kind} {name!r}; known: {known}") from None
+    if callable(target):
+        return target
+    module, attr = target.rsplit(".", 1)
+    return getattr(importlib.import_module(module), attr)
+
+
+def instantiate(kind: str, config: dict | str, **kwargs: Any):
+    """Construct a registered component from a config dict with a ``_name_``
+    key (remaining keys become constructor kwargs, call-site kwargs win)."""
+    if isinstance(config, str):
+        config = {"_name_": config}
+    cfg = dict(config)
+    name = cfg.pop("_name_")
+    cls = lookup(kind, name)
+    return cls(**{**cfg, **kwargs})

@@ -1,0 +1,103 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh — the
+idiomatic TPU replacement for the reference's torchrun multi-GPU tests
+(tests/models/test_gpt_parallel.py, SURVEY.md §4): DP/TP training steps and
+H-sharded convolution, all in one process via GSPMD."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flashfftconv_tpu import fft_conv, make_plan
+from flashfftconv_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    sequence_sharding,
+)
+
+needs_multi = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices (CPU mesh)"
+)
+
+
+@needs_multi
+def test_make_mesh_shapes():
+    mesh = make_mesh((4, 2), ("dp", "tp"))
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    with pytest.raises(ValueError):
+        make_mesh((3, 2), ("dp", "tp"))
+
+
+@needs_multi
+def test_h_sharded_conv_matches_single_device(rng):
+    """Sharding H across the mesh (the TPU escape hatch for the reference's
+    B/H caps at large N, SURVEY.md §5.7) is exact: depthwise conv is
+    embarrassingly parallel over channels."""
+    mesh = make_mesh((1, 8), ("dp", "tp"))
+    n, b, h = 1024, 2, 16
+    plan = make_plan(n, compute_dtype=jnp.float32)
+    u = jnp.asarray(rng.standard_normal((b, h, n)).astype(np.float32) * 0.02)
+    k = jnp.asarray(rng.standard_normal((h, n)).astype(np.float32) * 0.02)
+
+    y_single = fft_conv(plan, u, k, impl="xla")
+
+    u_sh = jax.device_put(u, NamedSharding(mesh, P(None, "tp", None)))
+    k_sh = jax.device_put(k, NamedSharding(mesh, P("tp", None)))
+    f = jax.jit(lambda u, k: fft_conv(plan, u, k, impl="xla"))
+    with mesh:
+        y_sharded = f(u_sh, k_sh)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_single), atol=1e-5
+    )
+
+
+@needs_multi
+def test_dp_batch_sharded_conv(rng):
+    mesh = make_mesh((8, 1), ("dp", "tp"))
+    n, b, h = 512, 16, 4
+    plan = make_plan(n, compute_dtype=jnp.float32)
+    u = jnp.asarray(rng.standard_normal((b, h, n)).astype(np.float32) * 0.02)
+    k = jnp.asarray(rng.standard_normal((h, n)).astype(np.float32) * 0.02)
+    y_single = fft_conv(plan, u, k, impl="xla")
+    u_sh = jax.device_put(u, batch_sharding(mesh, 3))
+    with mesh:
+        y = jax.jit(lambda u, k: fft_conv(plan, u, k, impl="xla"))(u_sh, k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_single), atol=1e-5)
+
+
+@needs_multi
+def test_full_train_step_dp_tp():
+    """The graft-entry multichip dryrun as a test: full train step jitted
+    over a dp x tp mesh."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+@needs_multi
+def test_sequence_parallel_pointwise(rng):
+    """Megatron-SP analog: sequence-sharded activations for pointwise blocks
+    (the conv itself is never sequence-sharded, matching the reference)."""
+    mesh = make_mesh((1, 8), ("dp", "tp"))
+    x = jnp.asarray(rng.standard_normal((2, 64, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((8, 8)).astype(np.float32))
+    x_sh = jax.device_put(x, sequence_sharding(mesh, 3, seq_axis=1))
+    with mesh:
+        y = jax.jit(lambda x, w: jax.nn.gelu(x @ w))(x_sh, w)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(jax.nn.gelu(x @ w)), atol=1e-5
+    )
+
+
+@needs_multi
+def test_param_shardings_rules():
+    mesh = make_mesh((4, 2), ("dp", "tp"))
+    params = {
+        "layer_0": {"kernel": jnp.ones((1, 16, 64)), "D": jnp.ones((1, 16))},
+        "other": {"w": jnp.ones((3, 3))},
+    }
+    sh = param_shardings(mesh, params)
+    assert sh["layer_0"]["kernel"].spec == P(None, "tp", None)
+    assert sh["other"]["w"].spec == P()

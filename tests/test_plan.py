@@ -26,7 +26,7 @@ def test_default_factors_cover_all_sizes():
         assert is_supported_seqlen(n)
 
 
-@pytest.mark.parametrize("bad", [128, 255, 300, 8 * 1024 * 1024])
+@pytest.mark.parametrize("bad", [8, 255, 300, 8 * 1024 * 1024])
 def test_unsupported_sizes_raise(bad):
     with pytest.raises(ValueError):
         default_factors(bad)
