@@ -81,8 +81,11 @@ def main():
         mine = jax.jit(lambda u, k, pre, post: conv(u, k, pre, post))
         orac = jax.jit(lambda u, k, pre, post: ff.fft_conv_reference(n, u, k, pre, post))
 
+        # XLA's FFT op runs at seconds per call for n >= 64K on TPU, so cap
+        # the oracle's iteration count at long sizes.
+        ref_iters = iters if n <= 32768 else 2
         t_mine = timeit(mine, u, k, pre, post, iters=iters)
-        t_ref = timeit(orac, u, k, pre, post, iters=iters)
+        t_ref = timeit(orac, u, k, pre, post, iters=ref_iters, warmup=1)
         sp = t_ref / t_mine
         speedups.append(sp)
         details[n] = {"flash_ms": t_mine * 1e3, "jnpfft_ms": t_ref * 1e3, "speedup": sp}

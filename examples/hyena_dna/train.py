@@ -1,0 +1,140 @@
+"""HyenaDNA: genomics language modeling at long sequence lengths on TPU.
+
+Port of the reference HyenaDNA example
+(/root/reference/examples/hyena-dna/hyenadna_flashfftconv.py: LMBackbone over
+HyenaOperator mixers with a shared FlashFFTConv at
+next_power_of_2(l_max) * 2, lines 688-721). Character-level DNA tokenization
+(A/C/G/T/N), synthetic genome with planted motifs when no FASTA is given
+(zero-egress environment; pass --fasta for real data), forward-throughput
+benchmark mode matching benchmark_flash_dna_fwd.py's tokens/ms metric.
+
+Run:  python examples/hyena_dna/train.py --l_max 16384 --steps 20
+      python examples/hyena_dna/train.py --benchmark --l_max 65536
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DNA_VOCAB = {c: i for i, c in enumerate("ACGTN")}
+
+
+def get_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--d_model", default=128, type=int)
+    p.add_argument("--n_layer", default=2, type=int)
+    p.add_argument("--l_max", default=16384, type=int)
+    p.add_argument("--batch_size", default=1, type=int)
+    p.add_argument("--steps", default=20, type=int)
+    p.add_argument("--lr", default=6e-4, type=float)
+    p.add_argument("--fasta", default="", help="path to a FASTA file")
+    p.add_argument("--benchmark", action="store_true", help="fwd-only tokens/ms")
+    p.add_argument("--impl", default="auto")
+    p.add_argument("--seed", default=0, type=int)
+    return p.parse_args()
+
+
+def load_genome(args) -> np.ndarray:
+    if args.fasta and os.path.exists(args.fasta):
+        seq = []
+        with open(args.fasta) as f:
+            for line in f:
+                if not line.startswith(">"):
+                    seq.append(line.strip().upper())
+        s = "".join(seq)
+        return np.asarray([DNA_VOCAB.get(c, 4) for c in s], np.int32)
+    rng = np.random.default_rng(args.seed)
+    # Synthetic genome: random ACGT with planted repeated motifs so the LM
+    # has learnable long-range structure.
+    n = 2_000_000
+    g = rng.integers(0, 4, n).astype(np.int32)
+    motif = rng.integers(0, 4, 64).astype(np.int32)
+    for start in rng.integers(0, n - 64, 2000):
+        g[start : start + 64] = motif
+    return g
+
+
+def main():
+    args = get_args()
+    import optax
+
+    from flashfftconv_tpu.models.lm import ConvLMHeadModel
+    from flashfftconv_tpu.utils.data import lm_batches
+    from flashfftconv_tpu.utils.metrics import cross_entropy
+    from flashfftconv_tpu.utils.train import TrainState, create_train_state
+
+    genome = load_genome(args)
+    print(f"genome: {len(genome):,} bases", flush=True)
+
+    model = ConvLMHeadModel(
+        d_model=args.d_model,
+        n_layer=args.n_layer,
+        d_inner=4 * args.d_model,
+        vocab_size=len(DNA_VOCAB),
+        l_max=args.l_max,
+        mixer="hyena",
+        mixer_kwargs={"impl": args.impl, "filter_args": {"emb_dim": 5}},
+        dtype=jnp.bfloat16,
+        pad_vocab_size_multiple=8,
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    ids = jnp.zeros((args.batch_size, args.l_max), jnp.int32)
+    params = model.init(rng, ids)["params"]
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"model: {n_params/1e6:.2f}M params @ L={args.l_max}", flush=True)
+
+    if args.benchmark:
+        fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, deterministic=True))
+        out = fwd(params, ids)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            out = fwd(params, ids)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        toks = args.batch_size * args.l_max
+        # tokens/ms + seqs/s, the reference's printed metrics
+        # (benchmark_flash_dna_fwd.py:55-58).
+        print(f"fwd: {dt*1e3:.2f} ms | {toks/dt/1e3:.1f} tokens/ms | "
+              f"{args.batch_size/dt:.2f} seqs/s", flush=True)
+        return
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(args.lr, weight_decay=0.1),
+    )
+    state = create_train_state(params, tx)
+
+    def step_fn(state, x, y):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, x, deterministic=True)
+            return cross_entropy(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), loss
+
+    jit_step = jax.jit(step_fn)
+    batches = lm_batches(genome, args.batch_size, args.l_max,
+                         np.random.default_rng(args.seed))
+    for step in range(args.steps):
+        x, y = next(batches)
+        state, loss = jit_step(state, jnp.asarray(x), jnp.asarray(y))
+        if step % 5 == 0 or step == args.steps - 1:
+            print(f"step {step}: loss {float(loss):.4f} "
+                  f"(bits/base {float(loss)/np.log(2):.3f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

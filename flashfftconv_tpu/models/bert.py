@@ -1,0 +1,152 @@
+"""M2-BERT: Monarch Mixer BERT encoder + MLM head (flax).
+
+Port of the reference's M2-BERT model
+(/root/reference/examples/bert/bert_layers.py: BertEncoder with shared
+FlashFFTConv at 438/294-302, BertModel, BertForMaskedLM) with the
+MonarchMixerSequenceMixing token mixer (models.m2_bert) and block-diagonal
+(Monarch) MLPs. Attention-free: sequence mixing is the gated bidirectional
+long conv, so no ALiBi/unpadding machinery is needed on TPU — static shapes
+with an attention-free mixer handle padded batches via the input mask.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from flashfftconv_tpu.models.m2_bert import MonarchMixerSequenceMixing, BlockdiagLinear
+
+
+class M2BertLayer(nn.Module):
+    d_model: int
+    d_inner: int
+    l_max: int
+    mlp_nblocks: int = 4
+    dropout: float = 0.1
+    bidirectional: bool = True
+    residual_long_conv: bool = True
+    conv_dtype: Any = jnp.bfloat16
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = MonarchMixerSequenceMixing(
+            d_model=self.d_model,
+            l_max=self.l_max,
+            bidirectional=self.bidirectional,
+            residual_long_conv=self.residual_long_conv,
+            conv_dtype=self.conv_dtype,
+            impl=self.impl,
+            name="mixer",
+        )(x, deterministic=deterministic)
+        h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+            (x + h).astype(jnp.float32)
+        ).astype(x.dtype)
+
+        dense = lambda f, name: (
+            BlockdiagLinear(f, nblocks=self.mlp_nblocks, name=name)
+            if self.mlp_nblocks
+            else nn.Dense(f, dtype=x.dtype, name=name)
+        )
+        m = dense(self.d_inner, "mlp_fc1")(x)
+        m = nn.gelu(m.astype(jnp.float32)).astype(x.dtype)
+        m = dense(self.d_model, "mlp_fc2")(m)
+        m = nn.Dropout(rate=self.dropout)(m, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+            (x + m).astype(jnp.float32)
+        ).astype(x.dtype)
+        return x
+
+
+class M2BertModel(nn.Module):
+    """Embeddings + n_layer M2 encoder layers (+ optional pooler)."""
+
+    vocab_size: int
+    d_model: int = 768
+    n_layer: int = 12
+    d_inner: int = 3072
+    l_max: int = 128
+    type_vocab_size: int = 2
+    mlp_nblocks: int = 4
+    dropout: float = 0.1
+    conv_dtype: Any = jnp.bfloat16
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        token_type_ids=None,
+        attention_mask=None,
+        deterministic: bool = True,
+    ):
+        b, l = input_ids.shape
+        x = nn.Embed(self.vocab_size, self.d_model, dtype=self.conv_dtype,
+                     name="word_embeddings")(input_ids)
+        pos = jnp.arange(l)[None]
+        x = x + nn.Embed(self.l_max, self.d_model, dtype=self.conv_dtype,
+                         name="position_embeddings")(pos)
+        if token_type_ids is not None:
+            x = x + nn.Embed(self.type_vocab_size, self.d_model,
+                             dtype=self.conv_dtype, name="token_type_embeddings")(
+                token_type_ids
+            )
+        x = nn.LayerNorm(dtype=jnp.float32, name="embed_norm")(
+            x.astype(jnp.float32)
+        ).astype(self.conv_dtype)
+        x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+        if attention_mask is not None:
+            x = x * attention_mask[..., None].astype(x.dtype)
+
+        for i in range(self.n_layer):
+            x = M2BertLayer(
+                d_model=self.d_model,
+                d_inner=self.d_inner,
+                l_max=self.l_max,
+                mlp_nblocks=self.mlp_nblocks,
+                dropout=self.dropout,
+                conv_dtype=self.conv_dtype,
+                impl=self.impl,
+                name=f"layer_{i}",
+            )(x, deterministic=deterministic)
+            if attention_mask is not None:
+                x = x * attention_mask[..., None].astype(x.dtype)
+        return x
+
+
+class M2BertForMaskedLM(nn.Module):
+    vocab_size: int
+    d_model: int = 768
+    n_layer: int = 12
+    d_inner: int = 3072
+    l_max: int = 128
+    mlp_nblocks: int = 4
+    dropout: float = 0.1
+    conv_dtype: Any = jnp.bfloat16
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, attention_mask=None,
+                 deterministic: bool = True):
+        h = M2BertModel(
+            vocab_size=self.vocab_size,
+            d_model=self.d_model,
+            n_layer=self.n_layer,
+            d_inner=self.d_inner,
+            l_max=self.l_max,
+            mlp_nblocks=self.mlp_nblocks,
+            dropout=self.dropout,
+            conv_dtype=self.conv_dtype,
+            impl=self.impl,
+            name="bert",
+        )(input_ids, token_type_ids, attention_mask, deterministic)
+        h = nn.Dense(self.d_model, dtype=jnp.float32, name="mlm_transform")(
+            h.astype(jnp.float32)
+        )
+        h = nn.gelu(h)
+        h = nn.LayerNorm(name="mlm_norm")(h)
+        return nn.Dense(self.vocab_size, dtype=jnp.float32, name="mlm_head")(h)

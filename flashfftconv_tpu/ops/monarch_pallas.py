@@ -54,8 +54,12 @@ def supported(plan: FftPlan) -> bool:
     if len(plan.factors) == 2:
         return 256 <= plan.seqlen <= MAX_FUSED_SEQLEN
     if len(plan.factors) == 3:
-        n1, n2 = plan.factors[1], plan.factors[2]
-        return n1 * n2 <= MAX_FUSED_SEQLEN
+        f0, n1, n2 = plan.factors
+        # The whole (f0, N1, N2) signal must fit VMEM (fused long kernel).
+        return n1 * n2 <= MAX_FUSED_SEQLEN and f0 * n1 * n2 <= 8 * MAX_FUSED_SEQLEN
+    if len(plan.factors) == 4:
+        f00, f0, n1, n2 = plan.factors
+        return n1 * n2 <= MAX_FUSED_SEQLEN and f0 * n1 * n2 <= 8 * MAX_FUSED_SEQLEN
     return False
 
 
@@ -439,6 +443,203 @@ def _bwd_tiles(
     return du4, y4, dkr, dki
 
 
+def _long_kernel(
+    refs,
+    *,
+    f0,
+    compute_dtype,
+    packed,
+    complex_io,
+):
+    """Fully-fused long convolution for one (b, h): outer f0-point DFT
+    (unrolled VPU multiply-adds — f0 <= 16), outer twiddle, per-chunk inner
+    2-way complex conv on the MXU, conjugate twiddle, inverse outer DFT.
+
+    One kernel, one HBM round trip — vs the reference's three-kernel
+    butterfly -> monarch_conv_complex -> butterfly_ifft pipeline
+    (/root/reference/flashfftconv/conv.py:692-1733), whose intermediates cost
+    it the memory-ratio drop at >=64K (SURVEY.md §3.2). VMEM (~16 MB) holds
+    the entire (f0, N1, N2) signal where CUDA shmem could not.
+    """
+    i = 0
+    u_ref = refs[i]; i += 1
+    uim_ref = None
+    if complex_io:
+        uim_ref = refs[i]; i += 1
+    kfr_ref, kfi_ref = refs[i], refs[i + 1]; i += 2
+    c0_ref, s0_ref, w0r_ref, w0i_ref, ic0_ref, is0_ref = refs[i : i + 6]; i += 6
+    (f1r, f1i, w1r, w1i, f2r, f2i, if2r, if2i, if1r, if1i) = refs[i : i + 10]
+    i += 10
+    o_ref = refs[i]; i += 1
+    oim_ref = refs[i] if complex_io else None
+
+    def mm(a, b):
+        return jnp.dot(
+            a.astype(compute_dtype), b.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    def cmul(are, aim, bre, bim):
+        return are * bre - aim * bim, are * bim + aim * bre
+
+    # ---- load input chunks as f32 (n1, n2) tiles --------------------------
+    if packed:
+        xs = [
+            (u_ref[0, 0, c].astype(jnp.float32), u_ref[1, 0, c].astype(jnp.float32))
+            for c in range(f0)
+        ]
+    elif complex_io:
+        xs = [
+            (u_ref[0, 0, c].astype(jnp.float32), uim_ref[0, 0, c].astype(jnp.float32))
+            for c in range(f0)
+        ]
+    else:
+        xs = [(u_ref[0, 0, c].astype(jnp.float32), None) for c in range(f0)]
+
+    # ---- outer DFT along chunks (unrolled, VPU) + outer twiddle -----------
+    f1r_m, f1i_m = f1r[...], f1i[...]
+    w1r_m, w1i_m = w1r[...], w1i[...]
+    f2r_m, f2i_m = f2r[...], f2i[...]
+    if2r_m, if2i_m = if2r[...], if2i[...]
+    if1r_m, if1i_m = if1r[...], if1i[...]
+
+    zs = []
+    for k0 in range(f0):
+        acc_re = acc_im = None
+        for c in range(f0):
+            cr = c0_ref[k0, c]
+            ci = s0_ref[k0, c]
+            xr, xi = xs[c]
+            tr = xr * cr if xi is None else xr * cr - xi * ci
+            ti = xr * ci if xi is None else xr * ci + xi * cr
+            acc_re = tr if acc_re is None else acc_re + tr
+            acc_im = ti if acc_im is None else acc_im + ti
+        # outer twiddle, then the fused inner complex conv for this chunk
+        xre, xim = cmul(acc_re, acc_im, w0r_ref[0, k0], w0i_ref[0, k0])
+
+        # inner stage 1
+        rr = mm(f1r_m, xre) - mm(f1i_m, xim)
+        ri = mm(f1r_m, xim) + mm(f1i_m, xre)
+        xre, xim = cmul(rr, ri, w1r_m, w1i_m)
+        # inner stage 2
+        rr = mm(xre, f2r_m) - mm(xim, f2i_m)
+        ri = mm(xre, f2i_m) + mm(xim, f2r_m)
+        # spectrum multiply
+        xre, xim = cmul(rr, ri, kfr_ref[0, k0], kfi_ref[0, k0])
+        # inner inverse
+        rr = mm(xre, if2r_m) - mm(xim, if2i_m)
+        ri = mm(xre, if2i_m) + mm(xim, if2r_m)
+        xre, xim = cmul(rr, ri, w1r_m, -w1i_m)
+        rr2 = mm(if1r_m, xre) - mm(if1i_m, xim)
+        ri2 = mm(if1r_m, xim) + mm(if1i_m, xre)
+        # conjugate outer twiddle
+        zs.append(cmul(rr2, ri2, w0r_ref[0, k0], -w0i_ref[0, k0]))
+
+    # ---- inverse outer DFT (carries 1/N via ic0/is0) ----------------------
+    for c in range(f0):
+        acc_re = acc_im = None
+        for k0 in range(f0):
+            cr = ic0_ref[c, k0]
+            ci = is0_ref[c, k0]
+            zr, zi = zs[k0]
+            tr = zr * cr - zi * ci
+            acc_re = tr if acc_re is None else acc_re + tr
+            if packed or complex_io:
+                ti = zr * ci + zi * cr
+                acc_im = ti if acc_im is None else acc_im + ti
+        if packed:
+            o_ref[0, 0, c] = acc_re.astype(o_ref.dtype)
+            o_ref[1, 0, c] = acc_im.astype(o_ref.dtype)
+        elif complex_io:
+            o_ref[0, 0, c] = acc_re.astype(o_ref.dtype)
+            oim_ref[0, 0, c] = acc_im.astype(oim_ref.dtype)
+        else:
+            o_ref[0, 0, c] = acc_re.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("factors", "compute_dtype", "io_dtype", "packed", "complex_io"),
+)
+def _long_tiles(
+    u5_re, u5_im, kf_re, kf_im, outer_tables, inner_tables,
+    factors, compute_dtype, io_dtype, packed, complex_io,
+):
+    """Run the fused long kernel over (B, H, f0, N1, N2) tiles."""
+    b, h, f0, n1, n2 = u5_re.shape
+    assert factors == (f0, n1, n2)
+    if packed:
+        grid = (h, b // 2)
+        tile = pl.BlockSpec(
+            (2, 1, f0, n1, n2), lambda i, j: (j, i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        grid = (h, b)
+        tile = pl.BlockSpec(
+            (1, 1, f0, n1, n2), lambda i, j: (j, i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+    kf_spec = pl.BlockSpec(
+        (1, f0, n1, n2), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    w0_spec = pl.BlockSpec(
+        (1, f0, n1, n2), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs = [tile] + ([tile] if complex_io else [])
+    in_specs += [kf_spec, kf_spec]
+    in_specs += [small, small, w0_spec, w0_spec, small, small]  # outer tables
+    in_specs += [small] * 10  # inner tables
+
+    inputs = [u5_re] + ([u5_im] if complex_io else [])
+    c0, s0, w0r, w0i, ic0, is0 = outer_tables
+    inputs += [kf_re, kf_im, c0, s0, w0r[None], w0i[None], ic0, is0, *inner_tables]
+
+    out_shape = [jax.ShapeDtypeStruct((b, h, f0, n1, n2), io_dtype)]
+    out_specs = [tile]
+    if complex_io:
+        out_shape.append(jax.ShapeDtypeStruct((b, h, f0, n1, n2), io_dtype))
+        out_specs.append(tile)
+
+    kernel = functools.partial(
+        lambda *refs, **kw: _long_kernel(refs, **kw),
+        f0=f0,
+        compute_dtype=jnp.dtype(compute_dtype),
+        packed=packed,
+        complex_io=complex_io,
+    )
+    inner_flops = 2 * (4 * n1 * n1 * n2 + 4 * n1 * n2 * n2 + 2 * n1 * n1 * n2)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if complex_io else out_specs[0],
+        out_shape=out_shape if complex_io else out_shape[0],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=(inner_flops * f0 + 8 * f0 * f0 * n1 * n2) * b * h,
+            bytes_accessed=(b * h * f0 * n1 * n2) * 16,
+            transcendentals=0,
+        ),
+    )(*inputs)
+    if complex_io:
+        return outs[0], outs[1]
+    return outs, None
+
+
+def _outer_tables(plan: FftPlan, base: int = 0):
+    """Outer-stage tables for the fused long kernel: (f0, f0) DFT/iDFT
+    matrices and the (f0, N1, N2)-shaped outer twiddle."""
+    f0 = plan.factors[base]
+    n1, n2 = plan.factors[base + 1], plan.factors[base + 2]
+    w0r = plan.tw_re[base].reshape(f0, n1, n2)
+    w0i = plan.tw_im[base].reshape(f0, n1, n2)
+    return (
+        plan.dft_re[base], plan.dft_im[base], w0r, w0i,
+        plan.idft_re[base], plan.idft_im[base],
+    )
+
+
 def _outer_butterfly(plan: FftPlan, x: jax.Array):
     """Outer DFT stage for 3-factor plans: real (..., N) -> planar
     (..., f0, R) with twiddle applied. The TPU analog of the reference's
@@ -495,33 +696,66 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
             packed=packed,
         )
         out = _unlayout(plan, o4, length).astype(jnp.float32)
-    else:
-        # Three-stage pipeline (64K-4M): butterfly -> fused inner complex
-        # conv (one kernel per (h, chunk, b)) -> inverse butterfly.
+    elif len(plan.factors) == 3:
+        # Fully-fused long path (64K-256K): outer butterfly + inner conv +
+        # inverse butterfly in ONE kernel (one HBM round trip).
         f0, n1, n2 = plan.factors
+        n = plan.seqlen
+        io = _io_dtype(plan, u.dtype)
+        x = ug.astype(io)
+        squeeze = x.ndim == 2
+        if squeeze:
+            x = x[None]
+        if length < n:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - length)])
+        b, h = x.shape[:2]
+        x5 = x.reshape(b, h, f0, n1, n2)
+        packed = b % 2 == 0 and b >= 2
+        o5, _ = _long_tiles(
+            x5,
+            None,
+            kf_re,
+            kf_im,
+            _outer_tables(plan),
+            _tables(plan, base=1),
+            factors=plan.factors,
+            compute_dtype=plan.compute_dtype_name,
+            io_dtype=io,
+            packed=packed,
+            complex_io=False,
+        )
+        out = o5.reshape(b, h, n)[..., :length].astype(jnp.float32)
+        if squeeze:
+            out = out[0]
+    else:
+        # 4-level pipeline (512K-4M): XLA outer butterfly over factor 0 +
+        # fused long kernel (complex I/O) over factors 1..3 + inverse.
+        f00, f0, n1, n2 = plan.factors
         n = plan.seqlen
         batch = ug.shape[:-1]
         x = ug.astype(jnp.float32)
         if length < n:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - length)])
-        xre, xim = _outer_butterfly(plan, x)  # (..., f0, R)
+        xre, xim = _outer_butterfly(plan, x)  # (..., f00, R)
         b_flat = math.prod(batch[:-1]) if len(batch) > 1 else 1
         h = batch[-1]
-        xre = xre.reshape(b_flat, h * f0, n1, n2)
-        xim = xim.reshape(b_flat, h * f0, n1, n2)
-        ore, oim = _conv_tiles(
+        xre = xre.reshape(b_flat, h * f00, f0, n1, n2)
+        xim = xim.reshape(b_flat, h * f00, f0, n1, n2)
+        ore, oim = _long_tiles(
             xre,
             xim,
-            kf_re.reshape(h * f0, n1, n2),
-            kf_im.reshape(h * f0, n1, n2),
-            _tables(plan, base=1),
-            plan_factors=(n1, n2),
+            kf_re.reshape(h * f00, f0, n1, n2),
+            kf_im.reshape(h * f00, f0, n1, n2),
+            _outer_tables(plan, base=1),
+            _tables(plan, base=2),
+            factors=plan.factors[1:],
             compute_dtype=plan.compute_dtype_name,
-            complex_out=True,
-            out_dtype=jnp.float32,
+            io_dtype=jnp.float32,
+            packed=False,
+            complex_io=True,
         )
-        ore = ore.reshape(*batch, f0, n1 * n2)
-        oim = oim.reshape(*batch, f0, n1 * n2)
+        ore = ore.reshape(*batch, f00, n // f00)
+        oim = oim.reshape(*batch, f00, n // f00)
         out = _outer_ibutterfly(plan, ore, oim)[..., :length]
 
     if postgate is not None:
@@ -546,11 +780,12 @@ def _gated_fwd(plan_key, u, k, pregate, postgate):
 
 
 def _finish_dk(plan, dk_re, dk_im, k):
-    """(H, *factor axes) accumulated spectrum cotangent -> dk (H, k_len)."""
-    from flashfftconv_tpu.ops.plan import kf_unpermute
+    """(H, *factor axes) accumulated spectrum cotangent -> dk (H, k_len).
 
-    dk_f = kf_unpermute(dk_re + 1j * dk_im, plan.factors)
-    return jnp.fft.ifft(dk_f, axis=-1).real[..., : k.shape[-1]].astype(k.dtype)
+    Inverse transform via the f32 Monarch iDFT (XLA's FFT op is far too slow
+    on TPU; see monarch_xla.kernel_spectrum)."""
+    dk_t, _ = monarch_xla.monarch_idft(plan, dk_re, dk_im, compute_dtype=jnp.float32)
+    return dk_t[..., : k.shape[-1]].astype(k.dtype)
 
 
 def _gated_bwd(plan_key, res, dout):

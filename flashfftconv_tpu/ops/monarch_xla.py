@@ -71,12 +71,13 @@ def _twiddle_mul(wre, wim, xre, xim, stage, factors, conj=False):
     return rr, ii
 
 
-def monarch_dft(plan: FftPlan, xre, xim=None):
+def monarch_dft(plan: FftPlan, xre, xim=None, compute_dtype=None):
     """Forward Monarch DFT: (..., N) real or planar-complex -> planar (..., f1, ..., fm).
 
     Output layout: X[..., k1, ..., km] = FFT(x)[k1 + f1*k2 + f1*f2*k3 + ...].
     """
     factors = plan.factors
+    dtype = compute_dtype or plan.compute_dtype
     m = len(factors)
     batch = xre.shape[:-1]
     xre = xre.reshape(*batch, *factors)
@@ -85,19 +86,20 @@ def monarch_dft(plan: FftPlan, xre, xim=None):
     for j in range(m):
         axis_from_end = m - j
         xre, xim = _stage_matmul(
-            plan.dft_re[j], plan.dft_im[j], xre, xim, axis_from_end, plan.compute_dtype
+            plan.dft_re[j], plan.dft_im[j], xre, xim, axis_from_end, dtype
         )
         if j < m - 1:
             xre, xim = _twiddle_mul(plan.tw_re[j], plan.tw_im[j], xre, xim, j, factors)
     return xre, xim
 
 
-def monarch_idft(plan: FftPlan, xre, xim):
+def monarch_idft(plan: FftPlan, xre, xim, compute_dtype=None):
     """Inverse Monarch DFT: planar (..., f1, ..., fm) -> planar (..., N).
 
     Carries the 1/N normalization (folded into the stage-0 inverse matrix).
     """
     factors = plan.factors
+    dtype = compute_dtype or plan.compute_dtype
     m = len(factors)
     for j in range(m - 1, -1, -1):
         if j < m - 1:
@@ -106,7 +108,7 @@ def monarch_idft(plan: FftPlan, xre, xim):
             )
         axis_from_end = m - j
         xre, xim = _stage_matmul(
-            plan.idft_re[j], plan.idft_im[j], xre, xim, axis_from_end, plan.compute_dtype
+            plan.idft_re[j], plan.idft_im[j], xre, xim, axis_from_end, dtype
         )
     batch = xre.shape[: -m]
     n = math.prod(factors)
@@ -116,13 +118,19 @@ def monarch_idft(plan: FftPlan, xre, xim):
 def kernel_spectrum(plan: FftPlan, k: jax.Array):
     """FFT of the (real, possibly shorter-than-N) conv kernel, in Monarch layout.
 
-    Computed in f32 via jnp.fft (exact; one H x N transform per call — the
-    reference does the same with cuFFT, /root/reference/flashfftconv/conv.py:573-575).
+    The reference computes this with cuFFT in fp32
+    (/root/reference/flashfftconv/conv.py:573-575) then permutes. Here the
+    spectrum is computed directly in Monarch layout via the f32 Monarch DFT
+    itself — XLA's native FFT op is pathologically slow on TPU (measured
+    ~3.3s for a (384, 64K) transform on v5e), while the Monarch matmuls take
+    microseconds and are accurate to f32 roundoff (tests/test_plan.py).
     Returns planar (kf_re, kf_im), each (..., f1, ..., fm), f32.
     """
-    k_f = jnp.fft.fft(k.astype(jnp.float32), n=plan.seqlen, axis=-1)
-    k_f = kf_permute(k_f, plan.factors)
-    return jnp.real(k_f), jnp.imag(k_f)
+    n = plan.seqlen
+    k = k.astype(jnp.float32)
+    if k.shape[-1] < n:
+        k = jnp.pad(k, [(0, 0)] * (k.ndim - 1) + [(0, n - k.shape[-1])])
+    return monarch_dft(plan, k, compute_dtype=jnp.float32)
 
 
 def fft_conv_xla(

@@ -84,8 +84,14 @@ def default_factors(seqlen: int) -> tuple[int, ...]:
         f1 = seqlen // f2
         assert f1 * f2 == seqlen and f1 <= _MAX_FACTOR
         return (f1, f2)
-    outer = seqlen // MAX_INNER
-    return (outer,) + default_factors(MAX_INNER)
+    if seqlen <= 8 * MAX_INNER:  # 64K-256K: fused long kernel holds (f0, N1, N2)
+        outer = seqlen // MAX_INNER
+        return (outer,) + default_factors(MAX_INNER)
+    # 512K-4M: 4-level — an XLA outer butterfly over f00, then the fused
+    # long kernel over a 128K inner block (f0=4 keeps the complex-I/O
+    # kernel inside the 16 MB VMEM budget).
+    f00 = seqlen // (4 * MAX_INNER)
+    return (f00, 4) + default_factors(MAX_INNER)
 
 
 def _dft_matrix(n: int, sign: int) -> np.ndarray:

@@ -80,6 +80,29 @@ def param_shardings(mesh: Mesh, params, rules=DEFAULT_TP_RULES):
     return jax.tree_util.tree_map_with_path(shard_one, params)
 
 
+def zero1_shardings(mesh: Mesh, opt_state, dp_axis: str = "dp"):
+    """ZeRO-1 analog (the reference's DDPStrategyZero1,
+    training/src/utils/ddp_zero1.py:57): shard optimizer-state tensors over
+    the data-parallel axis. Each moment tensor's largest dp-divisible
+    dimension is sharded; scalars and indivisible tensors stay replicated.
+    GSPMD handles the gather/scatter around the update — no rank-local
+    state-dict consolidation needed (orbax saves sharded arrays natively).
+    """
+    dp = mesh.shape[dp_axis]
+
+    def shard_one(leaf):
+        if not hasattr(leaf, "ndim") or leaf.ndim == 0:
+            return NamedSharding(mesh, P())
+        for axis in range(leaf.ndim):
+            if leaf.shape[axis] % dp == 0 and leaf.shape[axis] >= dp:
+                spec = [None] * leaf.ndim
+                spec[axis] = dp_axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(shard_one, opt_state)
+
+
 def sequence_sharding(mesh: Mesh, ndim: int, seq_axis: int = -1, sp_axis: str = "tp"):
     """Megatron-style sequence parallelism for pointwise blocks: shard the
     sequence axis (the conv itself is never sequence-sharded, matching the

@@ -17,8 +17,8 @@ import pytest
 from flashfftconv_tpu import FlashFFTConv, fft_conv, fft_conv_reference, make_plan
 
 QUICK_SIZES = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536]
-LONG_SIZES = [131072, 262144, 524288, 1048576]
-HUGE_SIZES = [2097152, 4194304]
+LONG_SIZES = [131072, 262144]
+HUGE_SIZES = [524288, 1048576, 2097152, 4194304]
 
 
 def _make_data(rng, b, h, seqlen, length, dtype, gated=False):

@@ -190,3 +190,26 @@ def test_lm_weight_tying(rng):
     # exactly one embedding table, no separate lm_head kernel
     assert any("embedding" in f for f in flat)
     assert not any("lm_head" in f for f in flat)
+
+
+def test_m2_bert_mlm(rng):
+    from flashfftconv_tpu.models.bert import M2BertForMaskedLM
+
+    vocab = 64
+    ids = jnp.asarray(rng.integers(0, vocab, (2, 32)))
+    mask = jnp.ones((2, 32), jnp.int32)
+    model = M2BertForMaskedLM(
+        vocab_size=vocab, d_model=32, n_layer=1, d_inner=64, l_max=32,
+        mlp_nblocks=4, conv_dtype=jnp.float32, impl="xla",
+    )
+    params = model.init(jax.random.PRNGKey(0), ids, attention_mask=mask)["params"]
+    logits = model.apply({"params": params}, ids, attention_mask=mask)
+    assert logits.shape == (2, 32, vocab)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    def loss(p):
+        lg = model.apply({"params": p}, ids, attention_mask=mask)
+        return jnp.mean((lg - 1.0) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(a)).all() for a in jax.tree_util.tree_leaves(g))

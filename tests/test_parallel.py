@@ -101,3 +101,29 @@ def test_param_shardings_rules():
     sh = param_shardings(mesh, params)
     assert sh["layer_0"]["kernel"].spec == P(None, "tp", None)
     assert sh["other"]["w"].spec == P()
+
+
+@needs_multi
+def test_zero1_sharded_optimizer_step(rng):
+    """ZeRO-1 analog: optimizer state sharded over dp; one step matches the
+    replicated result exactly."""
+    import optax
+
+    from flashfftconv_tpu.parallel.mesh import zero1_shardings
+
+    mesh = make_mesh((8, 1), ("dp", "tp"))
+    params = {"w": jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32))}
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones((16, 8), jnp.float32)}
+
+    up_ref, _ = tx.update(grads, opt_state, params)
+
+    sh = zero1_shardings(mesh, opt_state)
+    opt_sharded = jax.device_put(opt_state, sh)
+    with mesh:
+        up, new_state = jax.jit(tx.update)(grads, opt_sharded, params)
+    np.testing.assert_allclose(np.asarray(up["w"]), np.asarray(up_ref["w"]), atol=1e-6)
+    # moments actually live sharded
+    mu = jax.tree_util.tree_leaves(new_state)[1]
+    assert not mu.sharding.is_fully_replicated
