@@ -42,18 +42,19 @@ def set_b_h(seqlen: int) -> tuple[int, int]:
 
 
 def timeit(f, *args, iters=10, warmup=2):
+    """Pipelined timing: block once after the loop. Per-call blocking adds a
+    ~25 ms host<->device sync round trip per iteration in this environment
+    (axon relay), which would swamp the kernels being measured."""
     import jax
 
     for _ in range(warmup):
         out = f(*args)
     jax.block_until_ready(out)
-    times = []
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = f(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():

@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flashfftconv_tpu.ops import monarch_xla
-from flashfftconv_tpu.ops.plan import FftPlan, kf_permute
+from flashfftconv_tpu.ops.plan import FftPlan
 
 MAX_FUSED_SEQLEN = 32768
 
@@ -640,38 +640,127 @@ def _outer_tables(plan: FftPlan, base: int = 0):
     )
 
 
-def _outer_butterfly(plan: FftPlan, x: jax.Array):
-    """Outer DFT stage for 3-factor plans: real (..., N) -> planar
-    (..., f0, R) with twiddle applied. The TPU analog of the reference's
-    butterfly kernels (csrc/flashfftconv/butterfly/butterfly_cuda.cu), run as
-    XLA einsums (contraction dim f0, rows B*H*R — MXU-friendly)."""
-    f0 = plan.factors[0]
-    r = plan.seqlen // f0
-    a = x.reshape(*x.shape[:-1], f0, r)
-    xre, xim = monarch_xla._stage_matmul(
-        plan.dft_re[0], plan.dft_im[0], a, None, 2, plan.compute_dtype
-    )
-    wre, wim = plan.tw_re[0], plan.tw_im[0]
-    return xre * wre - xim * wim, xre * wim + xim * wre
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "io_dtype", "packed", "inverse")
+)
+def _butterfly_tiles(
+    x_re, x_im, c_re, c_im, w_re, w_im,
+    compute_dtype, io_dtype, packed, inverse,
+):
+    """Pallas outer-butterfly stage for the 512K-4M pipeline.
 
+    Forward (inverse=False): real (B, H, f00, R) -> planar complex spectra.
+    With packed=True, consecutive batch-row pairs are combined into one
+    complex signal inside the block (real conv kernel), so the outputs have
+    batch B//2: (yre, yim) each (B//2, H, f00, R).
+    Inverse: planar complex (Bc, H, f00, R) -> real; with packed=True the
+    real output has batch 2*Bc (row pair = re/im unpacked in-block).
 
-def _outer_ibutterfly(plan: FftPlan, yre: jax.Array, yim: jax.Array):
-    """Inverse outer stage: planar (..., f0, R) -> real (..., N). Applies the
-    conjugate twiddle then the (1/N-scaled) inverse DFT along f0; only the
-    real part is materialized (real-output convolution)."""
-    f0 = plan.factors[0]
-    wre, wim = plan.tw_re[0], plan.tw_im[0]
-    zre = yre * wre + yim * wim
-    zim = yim * wre - yre * wim
-    c = lambda a: a.astype(plan.compute_dtype)
-    ore = jnp.einsum(
-        "kn,...nr->...kr", c(plan.idft_re[0]), c(zre),
-        preferred_element_type=jnp.float32,
-    ) - jnp.einsum(
-        "kn,...nr->...kr", c(plan.idft_im[0]), c(zim),
-        preferred_element_type=jnp.float32,
+    The TPU analog of the reference's butterfly kernels
+    (csrc/flashfftconv/butterfly/butterfly_cuda.cu:14-676): one bandwidth
+    -bound pass fusing the f00-point DFT matmul and the twiddle, with bf16
+    planar intermediates (the reference uses fp16).
+    """
+    b, h, f00, r = x_re.shape
+    t = min(r, 8192)
+    assert r % t == 0
+    bc = b // 2 if (packed and not inverse) else b  # complex-side batch
+    grid = (bc, h, r // t)
+
+    pair_tile = pl.BlockSpec(
+        (2, 1, f00, t), lambda i, j, s: (i, j, 0, s), memory_space=pltpu.VMEM
     )
-    return ore.reshape(*ore.shape[:-2], plan.seqlen)
+    one_tile = pl.BlockSpec(
+        (1, 1, f00, t), lambda i, j, s: (i, j, 0, s), memory_space=pltpu.VMEM
+    )
+    w_spec = pl.BlockSpec((f00, t), lambda i, j, s: (0, s), memory_space=pltpu.VMEM)
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if inverse:
+        in_specs = [one_tile, one_tile]
+        inputs = [x_re, x_im]
+        if packed:
+            out_shape = [jax.ShapeDtypeStruct((2 * b, h, f00, r), io_dtype)]
+            out_specs = [pair_tile]
+        else:
+            out_shape = [jax.ShapeDtypeStruct((b, h, f00, r), io_dtype)]
+            out_specs = [one_tile]
+    else:
+        if packed:
+            in_specs = [pair_tile]
+            inputs = [x_re]
+        elif x_im is not None:
+            in_specs = [one_tile, one_tile]
+            inputs = [x_re, x_im]
+        else:
+            in_specs = [one_tile]
+            inputs = [x_re]
+        out_shape = [jax.ShapeDtypeStruct((bc, h, f00, r), io_dtype)] * 2
+        out_specs = [one_tile, one_tile]
+
+    in_specs += [small, small, w_spec, w_spec]
+    inputs += [c_re, c_im, w_re, w_im]
+    n_in_x = len(inputs) - 4
+
+    def kernel(*refs):
+        xrefs = refs[:n_in_x]
+        cr_ref, ci_ref, wr_ref, wi_ref = refs[n_in_x : n_in_x + 4]
+        outs = refs[n_in_x + 4 :]
+
+        def mm(m, v):
+            return jnp.dot(
+                m.astype(compute_dtype), v.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+
+        if inverse or (not packed and len(xrefs) == 2):
+            xr = xrefs[0][0, 0]
+            xi = xrefs[1][0, 0]
+        elif packed:
+            xr = xrefs[0][0, 0]
+            xi = xrefs[0][1, 0]
+        else:
+            xr = xrefs[0][0, 0]
+            xi = None
+
+        wr, wi = wr_ref[...], wi_ref[...]
+        cr, ci = cr_ref[...], ci_ref[...]
+        if inverse:
+            zr = xr * wr + xi * wi         # conjugate twiddle
+            zi = xi * wr - xr * wi
+            yr = mm(cr, zr) - mm(ci, zi)   # cr/ci carry the 1/N scale
+            if packed:
+                yi = mm(cr, zi) + mm(ci, zr)
+                outs[0][0, 0] = yr.astype(outs[0].dtype)
+                outs[0][1, 0] = yi.astype(outs[0].dtype)
+            else:
+                outs[0][0, 0] = yr.astype(outs[0].dtype)
+        else:
+            if xi is None:
+                yr, yi = mm(cr, xr), mm(ci, xr)
+            else:
+                yr = mm(cr, xr) - mm(ci, xi)
+                yi = mm(cr, xi) + mm(ci, xr)
+            yr, yi = yr * wr - yi * wi, yr * wi + yi * wr
+            outs[0][0, 0] = yr.astype(outs[0].dtype)
+            outs[1][0, 0] = yi.astype(outs[1].dtype)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bc * h * f00 * f00 * r,
+            bytes_accessed=bc * h * f00 * r * 12,
+            transcendentals=0,
+        ),
+    )(*inputs)
+    if isinstance(outs, (list, tuple)):
+        return outs[0], outs[1]
+    return outs, None
 
 
 def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
@@ -728,35 +817,56 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
         if squeeze:
             out = out[0]
     else:
-        # 4-level pipeline (512K-4M): XLA outer butterfly over factor 0 +
-        # fused long kernel (complex I/O) over factors 1..3 + inverse.
+        # 4-level pipeline (512K-4M): Pallas outer butterfly over factor 0
+        # (real-pair packed, bf16 planar intermediates) + fused long kernel
+        # (complex I/O) over factors 1..3 + inverse Pallas butterfly.
         f00, f0, n1, n2 = plan.factors
         n = plan.seqlen
-        batch = ug.shape[:-1]
-        x = ug.astype(jnp.float32)
+        r = n // f00
+        io = _io_dtype(plan, u.dtype)
+        x = ug.astype(io)
+        squeeze = x.ndim == 2
+        if squeeze:
+            x = x[None]
         if length < n:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - length)])
-        xre, xim = _outer_butterfly(plan, x)  # (..., f00, R)
-        b_flat = math.prod(batch[:-1]) if len(batch) > 1 else 1
-        h = batch[-1]
-        xre = xre.reshape(b_flat, h * f00, f0, n1, n2)
-        xim = xim.reshape(b_flat, h * f00, f0, n1, n2)
+        b, h = x.shape[:2]
+        x = x.reshape(b, h, f00, r)
+        packed = b % 2 == 0 and b >= 2
+        bre, bim = _butterfly_tiles(
+            x, None,
+            plan.dft_re[0], plan.dft_im[0], plan.tw_re[0], plan.tw_im[0],
+            compute_dtype=plan.compute_dtype,
+            io_dtype=io,
+            packed=packed,
+            inverse=False,
+        )
+        bc = b // 2 if packed else b
         ore, oim = _long_tiles(
-            xre,
-            xim,
+            bre.reshape(bc, h * f00, f0, n1, n2),
+            bim.reshape(bc, h * f00, f0, n1, n2),
             kf_re.reshape(h * f00, f0, n1, n2),
             kf_im.reshape(h * f00, f0, n1, n2),
             _outer_tables(plan, base=1),
             _tables(plan, base=2),
             factors=plan.factors[1:],
             compute_dtype=plan.compute_dtype_name,
-            io_dtype=jnp.float32,
+            io_dtype=io,
             packed=False,
             complex_io=True,
         )
-        ore = ore.reshape(*batch, f00, n // f00)
-        oim = oim.reshape(*batch, f00, n // f00)
-        out = _outer_ibutterfly(plan, ore, oim)[..., :length]
+        o, _ = _butterfly_tiles(
+            ore.reshape(bc, h, f00, r),
+            oim.reshape(bc, h, f00, r),
+            plan.idft_re[0], plan.idft_im[0], plan.tw_re[0], plan.tw_im[0],
+            compute_dtype=plan.compute_dtype,
+            io_dtype=io,
+            packed=packed,
+            inverse=True,
+        )
+        out = o.reshape(b, h, n)[..., :length].astype(jnp.float32)
+        if squeeze:
+            out = out[0]
 
     if postgate is not None:
         out = out * postgate.astype(jnp.float32)

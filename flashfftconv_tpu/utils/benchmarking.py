@@ -22,18 +22,18 @@ import numpy as np
 
 def benchmark_forward(fn: Callable, *args, repeats: int = 10, warmup: int = 3,
                       desc: str = "", verbose: bool = False):
-    """Median wall-clock of fn(*args) in ms, fully synchronized."""
+    """Mean wall-clock of fn(*args) in ms, pipelined (single sync after the
+    loop — per-call block_until_ready pays a host<->device round trip per
+    iteration, ~25 ms through the axon relay, swamping short kernels)."""
     f = jax.jit(fn) if not isinstance(fn, jax.stages.Wrapped) else fn
     for _ in range(warmup):
         out = f(*args)
     jax.block_until_ready(out)
-    times = []
+    t0 = time.perf_counter()
     for _ in range(repeats):
-        t0 = time.perf_counter()
         out = f(*args)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1e3)
-    med = float(np.median(times))
+    jax.block_until_ready(out)
+    med = (time.perf_counter() - t0) * 1e3 / repeats
     if verbose:
         print(f"{desc}: {med:.3f} ms")
     return med
