@@ -130,7 +130,11 @@ def kernel_spectrum(plan: FftPlan, k: jax.Array):
     k = k.astype(jnp.float32)
     if k.shape[-1] < n:
         k = jnp.pad(k, [(0, 0)] * (k.ndim - 1) + [(0, n - k.shape[-1])])
-    return monarch_dft(plan, k, compute_dtype=jnp.float32)
+    # Plan compute dtype (f32 accumulation): matches the precision at which
+    # u's spectrum is computed in the kernels, and the reference's own k_f
+    # cast to fp16/bf16 after cuFFT (conv.py:585). f32 operands here would
+    # cost ~10x (measured 28ms at H=96, N=1M on v5e).
+    return monarch_dft(plan, k)
 
 
 def fft_conv_xla(
