@@ -26,10 +26,13 @@ from flashfftconv_tpu.models.m2_bert import BlockdiagLinear, MonarchMixerSequenc
 def get_mixer_cls(name: str):
     from flashfftconv_tpu.models.h3 import H3Operator
 
+    from flashfftconv_tpu.models.attention import MHAOperator
+
     return {
         "hyena": HyenaOperator,
         "m2": MonarchMixerSequenceMixing,
         "h3": H3Operator,
+        "mha": MHAOperator,
     }[name]
 
 

@@ -20,6 +20,10 @@ _REGISTRIES: dict[str, dict[str, str | Callable]] = {
         "m2": "flashfftconv_tpu.models.m2_bert.MonarchMixerSequenceMixing",
         "long-conv": "flashfftconv_tpu.models.long_conv.LongConv",
         "hyena-filter": "flashfftconv_tpu.models.filters.HyenaFilter",
+        "mha": "flashfftconv_tpu.models.attention.MHAOperator",
+        "s4d-kernel": "flashfftconv_tpu.models.ssm.S4DKernel",
+        "long-conv-kernel": "flashfftconv_tpu.models.h3.LongConvKernel",
+        "block-fft": "flashfftconv_tpu.models.ssm.BlockFFT",
     },
     "model": {
         "lm": "flashfftconv_tpu.models.lm.ConvLMHeadModel",

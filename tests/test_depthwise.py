@@ -110,3 +110,65 @@ def test_module(rng):
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(_ref_conv1d(x, w, bias, 2)), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("is_bhl", [True, False])
+@pytest.mark.parametrize("k,pad", [(3, 1), (5, 2), (7, 3), (3, 0)])
+def test_pallas_path_forward(rng, is_bhl, k, pad):
+    """D % 128 == 0 routes through the fused Pallas kernel."""
+    b, d, l = 2, 128, 256
+    w_dk = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
+    if is_bhl:
+        x = jnp.asarray(rng.standard_normal((b, d, l)).astype(np.float32))
+        y = depthwise_conv1d(x, w_dk, bias, padding=pad, is_bhl=True)
+        y_ref = _ref_conv1d(x, w_dk, bias, pad)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+    else:
+        x = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+        y = depthwise_conv1d(x, w_dk.T, bias, padding=pad, is_bhl=False)
+        y_ref = _ref_conv1d(jnp.swapaxes(x, 1, 2), w_dk, bias, pad)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(jnp.swapaxes(y_ref, 1, 2)), atol=1e-4
+        )
+
+
+@pytest.mark.parametrize("is_bhl", [True, False])
+def test_pallas_path_grads(rng, is_bhl):
+    b, d, l, k, pad = 2, 128, 64, 5, 2
+    w_dk = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
+    if is_bhl:
+        x = jnp.asarray(rng.standard_normal((b, d, l)).astype(np.float32))
+        w = w_dk
+    else:
+        x = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+        w = w_dk.T
+
+    def loss_mine(x, w, bias):
+        return jnp.sum(depthwise_conv1d(x, w, bias, padding=pad, is_bhl=is_bhl) ** 2)
+
+    def loss_ref(x, w, bias):
+        xb = x if is_bhl else jnp.swapaxes(x, 1, 2)
+        wd = w if is_bhl else w.T
+        y = _ref_conv1d(xb, wd, bias, pad)
+        return jnp.sum(y**2)
+
+    g = jax.grad(loss_mine, argnums=(0, 1, 2))(x, w, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, bias)
+    for name, a, b_ in zip(["dx", "dw", "dbias"], g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-3, err_msg=f"{name} is_bhl={is_bhl}"
+        )
+
+
+def test_pallas_path_bf16(rng):
+    b, d, l, k = 2, 256, 128, 3
+    x = jnp.asarray(rng.standard_normal((b, d, l)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
+    y = depthwise_conv1d(x, w, None, padding=1, is_bhl=True)
+    assert y.dtype == jnp.bfloat16
+    y_ref = _ref_conv1d(x, w, None, 1)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref, np.float32), atol=5e-2
+    )

@@ -213,3 +213,93 @@ def test_m2_bert_mlm(rng):
 
     g = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(a)).all() for a in jax.tree_util.tree_leaves(g))
+
+
+def test_s4d_kernel(rng):
+    from flashfftconv_tpu.models.ssm import S4DKernel
+
+    model = S4DKernel(h=8, n_state=16)
+    params = model.init(jax.random.PRNGKey(0), 64)["params"]
+    k = model.apply({"params": params}, 64)
+    assert k.shape == (8, 64)
+    kk = np.asarray(k)
+    assert np.isfinite(kk).all()
+    # decaying SSM kernels: late taps smaller than early on average
+    assert np.abs(kk[:, -8:]).mean() < np.abs(kk[:, :8]).mean()
+
+
+def test_simple_long_conv_kernel(rng):
+    from flashfftconv_tpu.models.ssm import SimpleLongConvKernel
+
+    model = SimpleLongConvKernel(h=4)
+    params = model.init(jax.random.PRNGKey(0), 32)["params"]
+    k = model.apply({"params": params}, 32)
+    assert k.shape == (1, 4, 32)
+
+
+def test_block_fft_matches_fft(rng):
+    from flashfftconv_tpu.models.ssm import BlockFFT
+    from flashfftconv_tpu.ops.plan import kf_unpermute
+
+    n = 256
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    model = BlockFFT(n=n, learn_dft=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    rr, ri = model.apply({"params": params}, jnp.asarray(x))
+    got = kf_unpermute(np.asarray(rr) + 1j * np.asarray(ri), model._plan.factors if hasattr(model, "_plan") else (16, 16))
+    ref = np.fft.fft(x)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(got) / scale, ref / scale, atol=1e-5)
+    # DFT matrices are trainable parameters
+    assert "f1_re" in params
+
+
+def test_mha_mixer_and_lm(rng):
+    from flashfftconv_tpu.models.attention import MHAOperator
+
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32)) * 0.1
+    model = MHAOperator(d_model=D, num_heads=4)
+    params, y = _init_and_run(model, x)
+    assert y.shape == (B, L, D)
+    # causal: output at position t must not depend on inputs after t
+    x2 = x.at[:, -1, :].set(100.0)
+    y2 = model.apply({"params": params}, x2)
+    np.testing.assert_allclose(
+        np.asarray(y[:, :-1]), np.asarray(y2[:, :-1]), atol=1e-4
+    )
+
+    model_lm = ConvLMHeadModel(
+        d_model=D, n_layer=1, d_inner=D, vocab_size=32, l_max=L,
+        mixer="mha", mixer_kwargs={"num_heads": 4}, dtype=jnp.float32,
+    )
+    ids = jnp.asarray(rng.integers(0, 32, (2, L)))
+    p = model_lm.init(jax.random.PRNGKey(0), ids)["params"]
+    logits = model_lm.apply({"params": p}, ids)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_fused_ops(rng):
+    from flashfftconv_tpu.ops import fused
+
+    x = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((8, 8)).astype(np.float32))
+    b = jnp.zeros((8,))
+    y = fused.dense_bias_gelu(x, w, b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(jax.nn.gelu(x @ w)), atol=1e-5)
+
+    weight, bias = jnp.ones((8,)), jnp.zeros((8,))
+    out = fused.dropout_add_layer_norm(x, None, weight, bias, 0.0)
+    ref = (x - x.mean(-1, keepdims=True)) / jnp.sqrt(x.var(-1, keepdims=True) + 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    # rotary roundtrip: rotating by theta then -theta is identity
+    cos = jnp.cos(jnp.full((4, 4), 0.3))
+    sin = jnp.sin(jnp.full((4, 4), 0.3))
+    r = fused.apply_rotary_emb(x, cos, sin)
+    back = fused.apply_rotary_emb(r, cos, -sin)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+    logits = jnp.asarray(rng.standard_normal((3, 5, 7)).astype(np.float32))
+    labels = jnp.asarray([[0, 1, -100, 3, 4], [1, 1, 1, -100, -100], [2, 2, 2, 2, 2]])
+    loss = fused.cross_entropy_loss(logits, labels)
+    assert np.isfinite(float(loss))
