@@ -63,7 +63,12 @@ def main():
 
     import flashfftconv_tpu as ff
 
-    sizes = [int(s) for s in os.environ.get("BENCH_SIZES", "1024,4096,32768,262144").split(",")]
+    sizes = [
+        int(s)
+        for s in os.environ.get(
+            "BENCH_SIZES", "1024,4096,32768,262144,1048576"
+        ).split(",")
+    ]
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     rng = np.random.default_rng(0)
 

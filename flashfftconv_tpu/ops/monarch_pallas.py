@@ -149,6 +149,64 @@ def _conv_kernel(
         o_im_ref[0, 0] = im.astype(o_im_ref.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("plan_factors", "compute_dtype"))
+def _spectrum_tiles(k4, f1re, f1im, w1re, w1im, f2re, f2im, plan_factors, compute_dtype):
+    """Kernel-spectrum Pallas kernel for 2-factor plans: real (H, N1, N2)
+    kernel taps -> planar f32 Monarch-layout spectrum. One channel per grid
+    step (6 small matmuls); the pass is output-bandwidth-bound."""
+    h, n1, n2 = k4.shape
+    assert plan_factors == (n1, n2)
+    grid = (h,)
+    tile = pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def kernel(k_ref, f1r, f1i, w1r, w1i, f2r, f2i, or_ref, oi_ref):
+        def mm(a, b):
+            return jnp.dot(
+                a.astype(compute_dtype), b.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+
+        x = k_ref[0]
+        xre, xim = mm(f1r[...], x), mm(f1i[...], x)
+        xre, xim = (
+            xre * w1r[...] - xim * w1i[...],
+            xre * w1i[...] + xim * w1r[...],
+        )
+        or_ref[0] = mm(xre, f2r[...]) - mm(xim, f2i[...])
+        oi_ref[0] = mm(xre, f2i[...]) + mm(xim, f2r[...])
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile] + [small] * 6,
+        out_specs=[tile, tile],
+        out_shape=[jax.ShapeDtypeStruct((h, n1, n2), jnp.float32)] * 2,
+        interpret=_interpret(),
+    )(k4, f1re, f1im, w1re, w1im, f2re, f2im)
+
+
+def _kernel_spectrum(plan: FftPlan, k: jax.Array):
+    """Monarch-layout spectrum of the conv kernel; Pallas for 2-factor plans
+    on TPU, XLA einsums otherwise."""
+    if len(plan.factors) == 2 and k.ndim == 2 and not _interpret():
+        n1, n2 = plan.factors
+        n = plan.seqlen
+        kk = k.astype(plan.compute_dtype if plan.compute_dtype != jnp.float32 else jnp.float32)
+        if kk.shape[-1] < n:
+            kk = jnp.pad(kk, ((0, 0), (0, n - kk.shape[-1])))
+        k4 = kk.reshape(-1, n1, n2)
+        return _spectrum_tiles(
+            k4,
+            plan.dft_re[0], plan.dft_im[0],
+            plan.tw_re[0], plan.tw_im[0],
+            plan.dft_re[1], plan.dft_im[1],
+            plan_factors=plan.factors,
+            compute_dtype=plan.compute_dtype_name,
+        )
+    return monarch_xla.kernel_spectrum(plan, k)
+
+
 def _tables(plan: FftPlan, base: int = 0):
     """Kernel table bundle for the 2-way (sub)decomposition at stages
     (base, base+1). For 3-factor plans base=1 gives the inner conv tables;
@@ -876,7 +934,7 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fft_conv_pallas_gated(plan_key, u, k, pregate, postgate):
     plan = _PLAN_REGISTRY[plan_key]
-    kf_re, kf_im = monarch_xla.kernel_spectrum(plan, k)
+    kf_re, kf_im = _kernel_spectrum(plan, k)
     return _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, u.dtype)
 
 
@@ -902,7 +960,7 @@ def _gated_bwd(plan_key, res, dout):
     plan = _PLAN_REGISTRY[plan_key]
     u, k, pregate, postgate = res
     length = u.shape[-1]
-    kf_re, kf_im = monarch_xla.kernel_spectrum(plan, k)
+    kf_re, kf_im = _kernel_spectrum(plan, k)
 
     g = dout if postgate is None else dout * postgate
     ug = u if pregate is None else u * pregate
@@ -997,7 +1055,7 @@ def fft_conv_pallas(plan, u, k, pregate=None, postgate=None):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fft_conv_pallas_ungated(plan_key, u, k):
     plan = _PLAN_REGISTRY[plan_key]
-    kf_re, kf_im = monarch_xla.kernel_spectrum(plan, k)
+    kf_re, kf_im = _kernel_spectrum(plan, k)
     return _conv_raw(plan, u, kf_re, kf_im, None, None, u.dtype)
 
 
