@@ -149,6 +149,114 @@ def _conv_kernel(
         o_im_ref[0, 0] = im.astype(o_im_ref.dtype)
 
 
+_H_TILE = 8  # channels per grid step in the fused-I/O kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan_factors", "seqlen", "compute_dtype", "gated"),
+)
+def _conv_fused_io_tiles(
+    u, kf_re, kf_im, pregate, postgate, tables,
+    plan_factors, seqlen, compute_dtype, gated,
+):
+    """Fully-fused 2-factor forward: reads u (B, H, L) directly, does the
+    (L,) -> (N1, N2) relayout, zero-padding, gating, and the packed complex
+    conv chain all inside the kernel, and writes (B, H, L) back. One HBM
+    round trip total — the exact analog of the reference's fused kernel
+    with BlockLoad zero-fill + in/out-gate multiplies
+    (kernels_fp16/monarch_cuda_kernel.h:258-390). Requires even B and
+    H % _H_TILE == 0 (dispatch falls back otherwise)."""
+    b, h, length = u.shape
+    n1, n2 = plan_factors
+    n = seqlen
+    ht = _H_TILE
+    grid = (h // ht, b // 2)
+
+    io_spec = pl.BlockSpec(
+        (2, ht, length), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+    )
+    kf_spec = pl.BlockSpec((ht, n1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs = [io_spec, kf_spec, kf_spec] + [small] * 10
+    inputs = [u, kf_re, kf_im, *tables]
+    if gated:
+        in_specs += [io_spec, io_spec]
+        inputs += [pregate, postgate]
+
+    def kernel(*refs):
+        u_ref, kfr, kfi = refs[0], refs[1], refs[2]
+        (f1r, f1i, w1r, w1i, f2r, f2i, if2r, if2i, if1r, if1i) = refs[3:13]
+        if gated:
+            pre_ref, post_ref, o_ref = refs[13], refs[14], refs[15]
+        else:
+            o_ref = refs[13]
+            pre_ref = post_ref = None
+
+        def mm(a, bb):
+            return jnp.dot(
+                a.astype(compute_dtype), bb.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+
+        def cmul(are, aim, bre, bim):
+            return are * bre - aim * bim, are * bim + aim * bre
+
+        f1r_m, f1i_m = f1r[...], f1i[...]
+        w1r_m, w1i_m = w1r[...], w1i[...]
+        f2r_m, f2i_m = f2r[...], f2i[...]
+        if2r_m, if2i_m = if2r[...], if2i[...]
+        if1r_m, if1i_m = if1r[...], if1i[...]
+
+        for c in range(ht):
+            a = u_ref[0, c]
+            bb = u_ref[1, c]
+            if pre_ref is not None:
+                a = a * pre_ref[0, c]
+                bb = bb * pre_ref[1, c]
+            if length < n:
+                a = jnp.pad(a, (0, n - length))
+                bb = jnp.pad(bb, (0, n - length))
+            xre = a.reshape(n1, n2)
+            xim = bb.reshape(n1, n2)
+
+            rr = mm(f1r_m, xre) - mm(f1i_m, xim)
+            ri = mm(f1r_m, xim) + mm(f1i_m, xre)
+            xre, xim = cmul(rr, ri, w1r_m, w1i_m)
+            rr = mm(xre, f2r_m) - mm(xim, f2i_m)
+            ri = mm(xre, f2i_m) + mm(xim, f2r_m)
+            xre, xim = cmul(rr, ri, kfr[c], kfi[c])
+            rr = mm(xre, if2r_m) - mm(xim, if2i_m)
+            ri = mm(xre, if2i_m) + mm(xim, if2r_m)
+            xre, xim = cmul(rr, ri, w1r_m, -w1i_m)
+            rre = mm(if1r_m, xre) - mm(if1i_m, xim)
+            rim = mm(if1r_m, xim) + mm(if1i_m, xre)
+
+            r0 = rre.reshape(n)[:length]
+            r1 = rim.reshape(n)[:length]
+            if post_ref is not None:
+                r0 = r0 * post_ref[0, c].astype(jnp.float32)
+                r1 = r1 * post_ref[1, c].astype(jnp.float32)
+            o_ref[0, c] = r0.astype(o_ref.dtype)
+            o_ref[1, c] = r1.astype(o_ref.dtype)
+
+    flops_per_pair = 2 * (8 * n1 * n1 * n2 + 8 * n1 * n2 * n2)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, length), u.dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pair * (b // 2) * h,
+            bytes_accessed=b * h * length * (8 if gated else 4),
+            transcendentals=0,
+        ),
+    )(*inputs)
+
+
 @functools.partial(jax.jit, static_argnames=("plan_factors", "compute_dtype"))
 def _spectrum_tiles(k4, f1re, f1im, w1re, w1im, f2re, f2im, plan_factors, compute_dtype):
     """Kernel-spectrum Pallas kernel for 2-factor plans: real (H, N1, N2)
@@ -828,6 +936,28 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
 
     if len(plan.factors) == 2:
         io = _io_dtype(plan, u.dtype)
+        both_gates = pregate is not None and postgate is not None
+        no_gates = pregate is None and postgate is None
+        if (
+            u.ndim == 3
+            and u.shape[0] % 2 == 0
+            and u.shape[1] % _H_TILE == 0
+            and (both_gates or no_gates)
+        ):
+            # Fully-fused I/O path: relayout, padding and gating in-kernel.
+            out = _conv_fused_io_tiles(
+                u.astype(io),
+                kf_re,
+                kf_im,
+                pregate.astype(io) if both_gates else None,
+                postgate.astype(io) if both_gates else None,
+                _tables(plan),
+                plan_factors=plan.factors,
+                seqlen=plan.seqlen,
+                compute_dtype=plan.compute_dtype_name,
+                gated=both_gates,
+            )
+            return out.astype(out_dtype)
         u4 = _layout(plan, ug, dtype=io)
         packed = u4.ndim == 4 and u4.shape[0] % 2 == 0 and u4.shape[0] >= 2
         o4, _ = _conv_tiles(

@@ -83,3 +83,24 @@ def test_pallas_under_jit_and_dispatch(rng):
     y = jax.jit(lambda u, k: fft_conv(plan, u, k, impl="pallas"))(u, k)
     y_ref = fft_conv_reference(seqlen, u, k)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("gated", [False, True])
+@pytest.mark.parametrize("padded", [False, True])
+def test_fused_io_path(rng, gated, padded):
+    """B even + H % 8 == 0 routes through the fully-fused I/O kernel
+    (in-kernel relayout, padding and gating)."""
+    seqlen = 2048
+    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    length = seqlen // 2 if padded else seqlen
+    data = _data(rng, 4, 16, length, gated=gated)
+    y = mp.fft_conv_pallas(plan, *data)
+    y_ref = fft_conv_reference(seqlen, *data)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    dout = jnp.asarray(rng.standard_normal(data[0].shape).astype(np.float32) * 0.02)
+    argnums = tuple(range(len(data)))
+    g = jax.grad(lambda *a: jnp.sum(mp.fft_conv_pallas(plan, *a) * dout), argnums=argnums)(*data)
+    g_ref = jax.grad(lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=argnums)(*data)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
