@@ -18,10 +18,13 @@ Differences from the CUDA design (deliberate, TPU-native):
   - The grid iterates (h, b) with b minor so the per-channel kernel spectrum
     block is fetched once per h and reused across the batch (the analog of
     the reference's per-block k_f fragment reuse, monarch_cuda_kernel.h:216).
-  - Gating and implicit zero-padding happen in the XLA pre/post passes that
-    also lay the signal out as (B, H, N1, N2); XLA fuses them with the
-    layout copy, so they cost no extra HBM round trip — the same effect as
-    the reference's in-kernel gate fusion.
+  - When B is even and H % 8 == 0 (the common case), the fused-I/O kernels
+    read/write (B, H, L) directly: the (L,) -> (N1, N2) relayout, implicit
+    zero-padding, truncation and both gate multiplies all happen in-kernel
+    (in-VMEM relayout measures at the bandwidth floor), exactly one HBM
+    round trip per conv — the analog of the reference's BlockLoad zero-fill
+    + fused gates (monarch_cuda_kernel.h:258-390). Other shapes fall back to
+    XLA layout passes around the tile kernels.
 
 The public entry is :func:`fft_conv_pallas` (custom VJP; the backward reuses
 the same kernel with a conjugated spectrum for du — circular correlation —
@@ -544,6 +547,130 @@ def _bwd_kernel(
     if y_ref is not None:
         yre, yim = cmul(ure, uim, kre, kim)
         y_ref[0, 0] = inv_dft_real(yre, yim).astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan_factors", "seqlen", "compute_dtype", "need_y"),
+)
+def _bwd_fused_io_tiles(
+    u, g, kf_re, kf_im, tables, plan_factors, seqlen, compute_dtype, need_y
+):
+    """Fully-fused 2-factor backward with direct (B, H, L) I/O: per channel,
+    recompute U = DFT(u), G = DFT(g), emit du = IDFT(G * conj(K)) and
+    (optionally) y = IDFT(U * K), and accumulate dk_f += G * conj(U) across
+    the batch grid axis. Relayout/padding/truncation happen in-kernel."""
+    b, h, length = u.shape
+    n1, n2 = plan_factors
+    n = seqlen
+    ht = _H_TILE
+    grid = (h // ht, b)
+
+    io_spec = pl.BlockSpec(
+        (1, ht, length), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+    )
+    kf_spec = pl.BlockSpec((ht, n1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    out_shape = [jax.ShapeDtypeStruct((b, h, length), u.dtype)]
+    out_specs = [io_spec]
+    if need_y:
+        out_shape.append(jax.ShapeDtypeStruct((b, h, length), u.dtype))
+        out_specs.append(io_spec)
+    out_shape += [jax.ShapeDtypeStruct((h, n1, n2), jnp.float32)] * 2
+    out_specs += [kf_spec, kf_spec]
+
+    def kernel(*refs):
+        u_ref, g_ref, kfr, kfi = refs[:4]
+        (f1r, f1i, w1r, w1i, f2r, f2i, if2r, if2i, if1r, if1i) = refs[4:14]
+        outs = refs[14:]
+        if need_y:
+            du_ref, y_ref, dkr, dki = outs
+        else:
+            du_ref, dkr, dki = outs
+            y_ref = None
+
+        def mm(a, bb):
+            return jnp.dot(
+                a.astype(compute_dtype), bb.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+
+        def cmul(are, aim, bre, bim):
+            return are * bre - aim * bim, are * bim + aim * bre
+
+        f1r_m, f1i_m = f1r[...], f1i[...]
+        w1r_m, w1i_m = w1r[...], w1i[...]
+        f2r_m, f2i_m = f2r[...], f2i[...]
+        if2r_m, if2i_m = if2r[...], if2i[...]
+        if1r_m, if1i_m = if1r[...], if1i[...]
+        j = pl.program_id(1)
+
+        def fwd_dft(x):
+            xre, xim = mm(f1r_m, x), mm(f1i_m, x)
+            xre, xim = cmul(xre, xim, w1r_m, w1i_m)
+            return (
+                mm(xre, f2r_m) - mm(xim, f2i_m),
+                mm(xre, f2i_m) + mm(xim, f2r_m),
+            )
+
+        def inv_dft_real(xre, xim):
+            rr = mm(xre, if2r_m) - mm(xim, if2i_m)
+            ri = mm(xre, if2i_m) + mm(xim, if2r_m)
+            rr, ri = cmul(rr, ri, w1r_m, -w1i_m)
+            return mm(if1r_m, rr) - mm(if1i_m, ri)
+
+        def load(ref, c):
+            x = ref[0, c]
+            if length < n:
+                x = jnp.pad(x, (0, n - length))
+            return x.reshape(n1, n2)
+
+        for c in range(ht):
+            ure, uim = fwd_dft(load(u_ref, c))
+            gre, gim = fwd_dft(load(g_ref, c))
+
+            pre_ = gre * ure + gim * uim
+            pim_ = gim * ure - gre * uim
+
+            @pl.when(j == 0)
+            def _(c=c, pre_=pre_, pim_=pim_):
+                dkr[c] = pre_
+                dki[c] = pim_
+
+            @pl.when(j > 0)
+            def _(c=c, pre_=pre_, pim_=pim_):
+                dkr[c] += pre_
+                dki[c] += pim_
+
+            dre, dim_ = cmul(gre, gim, kfr[c], -kfi[c])
+            du_ref[0, c] = inv_dft_real(dre, dim_).reshape(n)[:length].astype(
+                du_ref.dtype
+            )
+            if y_ref is not None:
+                yre, yim = cmul(ure, uim, kfr[c], kfi[c])
+                y_ref[0, c] = inv_dft_real(yre, yim).reshape(n)[:length].astype(
+                    y_ref.dtype
+                )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[io_spec, io_spec, kf_spec, kf_spec] + [small] * 10,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * n * (n1 + n2) * (3 if need_y else 2) * 2,
+            bytes_accessed=b * h * length * (8 if need_y else 6),
+            transcendentals=0,
+        ),
+    )(u, g, kf_re, kf_im, *tables)
+    if need_y:
+        du, y, dkr, dki = outs
+    else:
+        (du, dkr, dki), y = outs, None
+    return du, y, dkr, dki
 
 
 @functools.partial(
@@ -1099,20 +1226,38 @@ def _gated_bwd(plan_key, res, dout):
         # Fused backward kernel: one pass computes du, the recomputed y (for
         # dpostgate) and the grid-accumulated dk_f partials.
         io = _io_dtype(plan, u.dtype)
-        u4 = _layout(plan, ug, dtype=io)
-        g4 = _layout(plan, g, dtype=io)
-        du4, y4, dkr, dki = _bwd_tiles(
-            u4,
-            g4,
-            kf_re,
-            kf_im,
-            _tables(plan),
-            plan_factors=plan.factors,
-            compute_dtype=plan.compute_dtype_name,
-            need_y=postgate is not None,
-            io_dtype=io,
-        )
-        du_inner = _unlayout(plan, du4, length).astype(jnp.float32)
+        if u.shape[1] % _H_TILE == 0:
+            du4, y4, dkr, dki = _bwd_fused_io_tiles(
+                ug.astype(io),
+                g.astype(io),
+                kf_re,
+                kf_im,
+                _tables(plan),
+                plan_factors=plan.factors,
+                seqlen=plan.seqlen,
+                compute_dtype=plan.compute_dtype_name,
+                need_y=postgate is not None,
+            )
+            du_inner = du4.astype(jnp.float32)
+            y_inner = None if y4 is None else y4.astype(jnp.float32)
+        else:
+            u4 = _layout(plan, ug, dtype=io)
+            g4 = _layout(plan, g, dtype=io)
+            du4, y4, dkr, dki = _bwd_tiles(
+                u4,
+                g4,
+                kf_re,
+                kf_im,
+                _tables(plan),
+                plan_factors=plan.factors,
+                compute_dtype=plan.compute_dtype_name,
+                need_y=postgate is not None,
+                io_dtype=io,
+            )
+            du_inner = _unlayout(plan, du4, length).astype(jnp.float32)
+            y_inner = (
+                None if y4 is None else _unlayout(plan, y4, length).astype(jnp.float32)
+            )
         dk = _finish_dk(plan, dkr, dki, k)
         if pregate is None:
             du, dpre = du_inner.astype(u.dtype), None
@@ -1122,7 +1267,6 @@ def _gated_bwd(plan_key, res, dout):
         if postgate is None:
             dpost = None
         else:
-            y_inner = _unlayout(plan, y4, length).astype(jnp.float32)
             dpost = (y_inner * dout.astype(jnp.float32)).astype(postgate.dtype)
         return du, dk, dpre, dpost
 
