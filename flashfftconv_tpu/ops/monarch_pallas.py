@@ -940,43 +940,52 @@ def _butterfly_tiles(
     x_re, x_im, c_re, c_im, w_re, w_im,
     compute_dtype, io_dtype, packed, inverse,
 ):
-    """Pallas outer-butterfly stage for the 512K-4M pipeline.
+    """Pallas outer-butterfly stage for the 512K-4M pipeline, operating in
+    the 128-lane layout (B, H, f00, RT, 128) with RT = R/128 so that the
+    reshapes to/from the inner kernel's (f0, N1, N2) layout are free
+    major-dim regroupings (no relayout passes between stages).
 
-    Forward (inverse=False): real (B, H, f00, R) -> planar complex spectra.
-    With packed=True, consecutive batch-row pairs are combined into one
-    complex signal inside the block (real conv kernel), so the outputs have
-    batch B//2: (yre, yim) each (B//2, H, f00, R).
-    Inverse: planar complex (Bc, H, f00, R) -> real; with packed=True the
-    real output has batch 2*Bc (row pair = re/im unpacked in-block).
+    Forward (inverse=False): real input -> planar complex spectra; with
+    packed=True consecutive batch-row pairs combine into one complex signal
+    (real conv kernel), so outputs have batch B//2.
+    Inverse: planar complex (Bc, ...) -> real; packed=True unpacks the pair
+    back to batch 2*Bc. The f00-point DFT matmul and the twiddle multiply
+    run on in-VMEM-merged (f00, T) views (in-kernel relayout runs at the
+    bandwidth floor).
 
     The TPU analog of the reference's butterfly kernels
-    (csrc/flashfftconv/butterfly/butterfly_cuda.cu:14-676): one bandwidth
-    -bound pass fusing the f00-point DFT matmul and the twiddle, with bf16
-    planar intermediates (the reference uses fp16).
+    (csrc/flashfftconv/butterfly/butterfly_cuda.cu:14-676), with bf16 planar
+    intermediates (the reference uses fp16).
     """
-    b, h, f00, r = x_re.shape
-    t = min(r, 8192)
-    assert r % t == 0
+    b, h, f00, rt, lanes = x_re.shape
+    assert lanes == 128
+    trt = min(rt, 64)
+    assert rt % trt == 0
+    t = trt * 128
     bc = b // 2 if (packed and not inverse) else b  # complex-side batch
-    grid = (bc, h, r // t)
+    grid = (bc, h, rt // trt)
 
     pair_tile = pl.BlockSpec(
-        (2, 1, f00, t), lambda i, j, s: (i, j, 0, s), memory_space=pltpu.VMEM
+        (2, 1, f00, trt, 128), lambda i, j, s: (i, j, 0, s, 0),
+        memory_space=pltpu.VMEM,
     )
     one_tile = pl.BlockSpec(
-        (1, 1, f00, t), lambda i, j, s: (i, j, 0, s), memory_space=pltpu.VMEM
+        (1, 1, f00, trt, 128), lambda i, j, s: (i, j, 0, s, 0),
+        memory_space=pltpu.VMEM,
     )
-    w_spec = pl.BlockSpec((f00, t), lambda i, j, s: (0, s), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec(
+        (f00, trt, 128), lambda i, j, s: (0, s, 0), memory_space=pltpu.VMEM
+    )
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     if inverse:
         in_specs = [one_tile, one_tile]
         inputs = [x_re, x_im]
         if packed:
-            out_shape = [jax.ShapeDtypeStruct((2 * b, h, f00, r), io_dtype)]
+            out_shape = [jax.ShapeDtypeStruct((2 * b, h, f00, rt, 128), io_dtype)]
             out_specs = [pair_tile]
         else:
-            out_shape = [jax.ShapeDtypeStruct((b, h, f00, r), io_dtype)]
+            out_shape = [jax.ShapeDtypeStruct((b, h, f00, rt, 128), io_dtype)]
             out_specs = [one_tile]
     else:
         if packed:
@@ -988,7 +997,7 @@ def _butterfly_tiles(
         else:
             in_specs = [one_tile]
             inputs = [x_re]
-        out_shape = [jax.ShapeDtypeStruct((bc, h, f00, r), io_dtype)] * 2
+        out_shape = [jax.ShapeDtypeStruct((bc, h, f00, rt, 128), io_dtype)] * 2
         out_specs = [one_tile, one_tile]
 
     in_specs += [small, small, w_spec, w_spec]
@@ -1006,17 +1015,21 @@ def _butterfly_tiles(
                 preferred_element_type=jnp.float32,
             )
 
+        def flat(ref, row):
+            return ref[row, 0].reshape(f00, t)
+
         if inverse or (not packed and len(xrefs) == 2):
-            xr = xrefs[0][0, 0]
-            xi = xrefs[1][0, 0]
+            xr = flat(xrefs[0], 0)
+            xi = flat(xrefs[1], 0)
         elif packed:
-            xr = xrefs[0][0, 0]
-            xi = xrefs[0][1, 0]
+            xr = flat(xrefs[0], 0)
+            xi = flat(xrefs[0], 1)
         else:
-            xr = xrefs[0][0, 0]
+            xr = flat(xrefs[0], 0)
             xi = None
 
-        wr, wi = wr_ref[...], wi_ref[...]
+        wr = wr_ref[...].reshape(f00, t)
+        wi = wi_ref[...].reshape(f00, t)
         cr, ci = cr_ref[...], ci_ref[...]
         if inverse:
             zr = xr * wr + xi * wi         # conjugate twiddle
@@ -1024,10 +1037,10 @@ def _butterfly_tiles(
             yr = mm(cr, zr) - mm(ci, zi)   # cr/ci carry the 1/N scale
             if packed:
                 yi = mm(cr, zi) + mm(ci, zr)
-                outs[0][0, 0] = yr.astype(outs[0].dtype)
-                outs[0][1, 0] = yi.astype(outs[0].dtype)
+                outs[0][0, 0] = yr.reshape(f00, trt, 128).astype(outs[0].dtype)
+                outs[0][1, 0] = yi.reshape(f00, trt, 128).astype(outs[0].dtype)
             else:
-                outs[0][0, 0] = yr.astype(outs[0].dtype)
+                outs[0][0, 0] = yr.reshape(f00, trt, 128).astype(outs[0].dtype)
         else:
             if xi is None:
                 yr, yi = mm(cr, xr), mm(ci, xr)
@@ -1035,8 +1048,8 @@ def _butterfly_tiles(
                 yr = mm(cr, xr) - mm(ci, xi)
                 yi = mm(cr, xi) + mm(ci, xr)
             yr, yi = yr * wr - yi * wi, yr * wi + yi * wr
-            outs[0][0, 0] = yr.astype(outs[0].dtype)
-            outs[1][0, 0] = yi.astype(outs[1].dtype)
+            outs[0][0, 0] = yr.reshape(f00, trt, 128).astype(outs[0].dtype)
+            outs[1][0, 0] = yi.reshape(f00, trt, 128).astype(outs[1].dtype)
 
     outs = pl.pallas_call(
         kernel,
@@ -1046,8 +1059,8 @@ def _butterfly_tiles(
         out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=8 * bc * h * f00 * f00 * r,
-            bytes_accessed=bc * h * f00 * r * 12,
+            flops=8 * bc * h * f00 * f00 * rt * 128,
+            bytes_accessed=bc * h * f00 * rt * 128 * 12,
             transcendentals=0,
         ),
     )(*inputs)
@@ -1146,11 +1159,16 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
         if length < n:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - length)])
         b, h = x.shape[:2]
-        x = x.reshape(b, h, f00, r)
+        rt = r // 128
+        # The ONLY relayout: (B,H,N) -> 128-lane 5D (fused with the pad).
+        # Every reshape between the stages below is a free major-dim regroup.
+        x = x.reshape(b, h, f00, rt, 128)
         packed = b % 2 == 0 and b >= 2
+        w0r = plan.tw_re[0].reshape(f00, rt, 128)
+        w0i = plan.tw_im[0].reshape(f00, rt, 128)
         bre, bim = _butterfly_tiles(
             x, None,
-            plan.dft_re[0], plan.dft_im[0], plan.tw_re[0], plan.tw_im[0],
+            plan.dft_re[0], plan.dft_im[0], w0r, w0i,
             compute_dtype=plan.compute_dtype,
             io_dtype=io,
             packed=packed,
@@ -1171,9 +1189,9 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
             complex_io=True,
         )
         o, _ = _butterfly_tiles(
-            ore.reshape(bc, h, f00, r),
-            oim.reshape(bc, h, f00, r),
-            plan.idft_re[0], plan.idft_im[0], plan.tw_re[0], plan.tw_im[0],
+            ore.reshape(bc, h, f00, rt, 128),
+            oim.reshape(bc, h, f00, rt, 128),
+            plan.idft_re[0], plan.idft_im[0], w0r, w0i,
             compute_dtype=plan.compute_dtype,
             io_dtype=io,
             packed=packed,

@@ -104,3 +104,21 @@ def test_fused_io_path(rng, gated, padded):
     g_ref = jax.grad(lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=argnums)(*data)
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("seqlen", [524288])
+def test_pallas_4level_path(rng, seqlen):
+    """The 4-level (Pallas butterfly + fused long inner) pipeline, fwd+bwd."""
+    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    assert len(plan.factors) == 4 and mp.supported(plan)
+    length = seqlen // 2
+    u, k = _data(rng, 2, 2, length)
+    y = mp.fft_conv_pallas(plan, u, k)
+    y_ref = fft_conv_reference(seqlen, u, k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    dout = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32) * 0.02)
+    g = jax.grad(lambda *a: jnp.sum(mp.fft_conv_pallas(plan, *a) * dout), argnums=(0, 1))(u, k)
+    g_ref = jax.grad(lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=(0, 1))(u, k)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
