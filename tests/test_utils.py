@@ -164,3 +164,16 @@ def test_metric_logger(tmp_path):
     import json
 
     assert json.loads(lines[0])["loss"] == 1.5
+
+
+def test_debugging_helpers():
+    from flashfftconv_tpu.utils.debugging import assert_finite, checked
+
+    assert_finite({"a": jnp.ones(3)})
+    with pytest.raises(FloatingPointError):
+        assert_finite({"a": jnp.asarray([1.0, float("nan")])}, name="params")
+
+    f = checked(lambda x: jnp.log(x))
+    assert np.isfinite(float(f(jnp.asarray(2.0))))
+    with pytest.raises(Exception):
+        f(jnp.asarray(-1.0))  # nan from log of negative
