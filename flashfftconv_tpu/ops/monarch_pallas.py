@@ -212,17 +212,25 @@ def _conv_fused_io_tiles(
         if2r_m, if2i_m = if2r[...], if2i[...]
         if1r_m, if1i_m = if1r[...], if1i[...]
 
+        rows = length // n2
+
+        def to_tile(v):
+            # 2D pad (1D pad lowers to an unsupported Mosaic concatenate);
+            # f32 for the padded tile — bf16 sub-16-sublane tiles are
+            # unsupported by Mosaic (needs rows >= 8, gated in dispatch).
+            if length == n:
+                return v.reshape(n1, n2)
+            v2 = v.astype(jnp.float32).reshape(rows, n2)
+            return jnp.pad(v2, ((0, n1 - rows), (0, 0)))
+
         for c in range(ht):
             a = u_ref[0, c]
             bb = u_ref[1, c]
             if pre_ref is not None:
                 a = a * pre_ref[0, c]
                 bb = bb * pre_ref[1, c]
-            if length < n:
-                a = jnp.pad(a, (0, n - length))
-                bb = jnp.pad(bb, (0, n - length))
-            xre = a.reshape(n1, n2)
-            xim = bb.reshape(n1, n2)
+            xre = to_tile(a)
+            xim = to_tile(bb)
 
             rr = mm(f1r_m, xre) - mm(f1i_m, xim)
             ri = mm(f1r_m, xim) + mm(f1i_m, xre)
@@ -236,8 +244,8 @@ def _conv_fused_io_tiles(
             rre = mm(if1r_m, xre) - mm(if1i_m, xim)
             rim = mm(if1r_m, xim) + mm(if1i_m, xre)
 
-            r0 = rre.reshape(n)[:length]
-            r1 = rim.reshape(n)[:length]
+            r0 = rre[:rows].reshape(length)
+            r1 = rim[:rows].reshape(length)
             if post_ref is not None:
                 r0 = r0 * post_ref[0, c].astype(jnp.float32)
                 r1 = r1 * post_ref[1, c].astype(jnp.float32)
@@ -620,11 +628,14 @@ def _bwd_fused_io_tiles(
             rr, ri = cmul(rr, ri, w1r_m, -w1i_m)
             return mm(if1r_m, rr) - mm(if1i_m, ri)
 
+        rows = length // n2
+
         def load(ref, c):
             x = ref[0, c]
-            if length < n:
-                x = jnp.pad(x, (0, n - length))
-            return x.reshape(n1, n2)
+            if length == n:
+                return x.reshape(n1, n2)
+            x2 = x.astype(jnp.float32).reshape(rows, n2)
+            return jnp.pad(x2, ((0, n1 - rows), (0, 0)))
 
         for c in range(ht):
             ure, uim = fwd_dft(load(u_ref, c))
@@ -644,13 +655,13 @@ def _bwd_fused_io_tiles(
                 dki[c] += pim_
 
             dre, dim_ = cmul(gre, gim, kfr[c], -kfi[c])
-            du_ref[0, c] = inv_dft_real(dre, dim_).reshape(n)[:length].astype(
-                du_ref.dtype
+            du_ref[0, c] = (
+                inv_dft_real(dre, dim_)[:rows].reshape(length).astype(du_ref.dtype)
             )
             if y_ref is not None:
                 yre, yim = cmul(ure, uim, kfr[c], kfi[c])
-                y_ref[0, c] = inv_dft_real(yre, yim).reshape(n)[:length].astype(
-                    y_ref.dtype
+                y_ref[0, c] = (
+                    inv_dft_real(yre, yim)[:rows].reshape(length).astype(y_ref.dtype)
                 )
 
     outs = pl.pallas_call(
@@ -1082,6 +1093,8 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
             u.ndim == 3
             and u.shape[0] % 2 == 0
             and u.shape[1] % _H_TILE == 0
+            and length % plan.factors[1] == 0
+            and length >= 8 * plan.factors[1]
             and (both_gates or no_gates)
         ):
             # Fully-fused I/O path: relayout, padding and gating in-kernel.
@@ -1244,7 +1257,11 @@ def _gated_bwd(plan_key, res, dout):
         # Fused backward kernel: one pass computes du, the recomputed y (for
         # dpostgate) and the grid-accumulated dk_f partials.
         io = _io_dtype(plan, u.dtype)
-        if u.shape[1] % _H_TILE == 0:
+        if (
+            u.shape[1] % _H_TILE == 0
+            and length % plan.factors[1] == 0
+            and length >= 8 * plan.factors[1]
+        ):
             du4, y4, dkr, dki = _bwd_fused_io_tiles(
                 ug.astype(io),
                 g.astype(io),
