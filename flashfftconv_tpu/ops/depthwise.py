@@ -49,6 +49,8 @@ def _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
     k, d = w_kd.shape
     if x.ndim == 3:
         dn = ("NCH", "OIH", "NCH") if is_bhl else ("NHC", "OIH", "NHC")
+        # Matching operand dtypes keep the AD transpose of the conv valid
+        # (preferred_element_type would make the cotangent dtype mismatch).
         out = lax.conv_general_dilated(
             x,
             w_kd.T[:, None, :].astype(x.dtype),
@@ -56,8 +58,7 @@ def _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
             padding=[(padding, padding)],
             feature_group_count=d,
             dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         if bias is not None:
             bias_f = bias.astype(jnp.float32)
             out = out + (bias_f[None, :, None] if is_bhl else bias_f[None, None, :])
