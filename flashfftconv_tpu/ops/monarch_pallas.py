@@ -54,6 +54,11 @@ def supported(plan: FftPlan) -> bool:
     butterfly in XLA, inner complex conv in the same fused kernel (the analog
     of the reference's butterfly -> monarch_conv_*_complex -> butterfly_ifft
     chain, conv.py:692-1733)."""
+    if len(plan.factors) == 1:
+        # Direct-DFT fused kernel. At 1024 the XLA batched matmul (full-M
+        # MXU utilization over all B*H rows) measures faster, so the kernel
+        # only takes <= 512.
+        return plan.seqlen <= 512
     if len(plan.factors) == 2:
         return 256 <= plan.seqlen <= MAX_FUSED_SEQLEN
     if len(plan.factors) == 3:
@@ -263,6 +268,78 @@ def _conv_fused_io_tiles(
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pair * (b // 2) * h,
             bytes_accessed=b * h * length * (8 if gated else 4),
+            transcendentals=0,
+        ),
+    )(*inputs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("seqlen", "compute_dtype", "gated", "ht")
+)
+def _direct_fused_io_tiles(
+    u, kf_re, kf_im, pregate, postgate, cre, cim, icre, icim,
+    seqlen, compute_dtype, gated, ht,
+):
+    """Fused direct-DFT conv for small N (<= 1024): per grid step, 16 real
+    signals (2 batch rows x 8 channels) form a (16, N) matrix and the whole
+    conv is four (16, N) @ (N, N) MXU matmuls + the per-channel spectrum
+    multiply — full-contraction matmuls beat the Monarch split at small N
+    (see plan.DIRECT_MAX). One HBM round trip, gates fused. Requires L == N,
+    even B, H % 8 == 0."""
+    b, h, n = u.shape
+    assert n == seqlen and h % ht == 0
+    grid = (h // ht, b // 2)
+
+    io_spec = pl.BlockSpec((2, ht, n), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM)
+    kf_spec = pl.BlockSpec((ht, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs = [io_spec, kf_spec, kf_spec] + [small] * 4
+    inputs = [u, kf_re, kf_im, cre, cim, icre, icim]
+    if gated:
+        in_specs += [io_spec, io_spec]
+        inputs += [pregate, postgate]
+
+    def kernel(*refs):
+        u_ref, kfr_ref, kfi_ref, cre_ref, cim_ref, icre_ref, icim_ref = refs[:7]
+        if gated:
+            pre_ref, post_ref, o_ref = refs[7], refs[8], refs[9]
+        else:
+            o_ref = refs[7]
+            pre_ref = post_ref = None
+
+        def mm(a, bb):
+            return jnp.dot(
+                a.astype(compute_dtype), bb.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+
+        x = u_ref[...]
+        if pre_ref is not None:
+            x = x * pre_ref[...]
+        x = x.reshape(2 * ht, n)
+        zre = mm(x, cre_ref[...])
+        zim = mm(x, cim_ref[...])
+        # per-channel spectrum, repeated for the two batch rows
+        kfr = jnp.broadcast_to(kfr_ref[...][None], (2, ht, n)).reshape(2 * ht, n)
+        kfi = jnp.broadcast_to(kfi_ref[...][None], (2, ht, n)).reshape(2 * ht, n)
+        yre = zre * kfr - zim * kfi
+        yim = zre * kfi + zim * kfr
+        out = (mm(yre, icre_ref[...]) - mm(yim, icim_ref[...])).reshape(2, ht, n)
+        if post_ref is not None:
+            out = out * post_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, n), u.dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * n * 2,
+            bytes_accessed=b * h * n * (8 if gated else 4),
             transcendentals=0,
         ),
     )(*inputs)
@@ -1080,15 +1157,60 @@ def _butterfly_tiles(
     return outs, None
 
 
+def _conv_raw_xla_direct(plan, ug, kf_re, kf_im, postgate, length, out_dtype):
+    """Single-factor (direct DFT) conv via XLA einsums, with kf already in
+    natural order (1-factor Monarch layout == natural)."""
+    x = ug.astype(jnp.float32)
+    if length < plan.seqlen:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, plan.seqlen - length)])
+    xre, xim = monarch_xla.monarch_dft(plan, x)
+    yre = xre * kf_re - xim * kf_im
+    yim = xre * kf_im + xim * kf_re
+    ore, _ = monarch_xla.monarch_idft(plan, yre, yim)
+    out = ore[..., :length]
+    if postgate is not None:
+        out = out * postgate.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
 def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
     """postgate * iFFT(FFT(pre*u) * k_f)[:L] with k_f given in Monarch layout."""
     length = u.shape[-1]
     ug = u if pregate is None else u * pregate
 
+    both_gates = pregate is not None and postgate is not None
+    no_gates = pregate is None and postgate is None
+    if len(plan.factors) == 1:
+        io = _io_dtype(plan, u.dtype)
+        cd = plan.compute_dtype
+        ht = next((t for t in (64, 32, 16, 8) if u.ndim == 3 and u.shape[1] % t == 0), None)
+        if (
+            ht is not None
+            and length == plan.seqlen
+            and u.shape[0] % 2 == 0
+            and (both_gates or no_gates)
+        ):
+            out = _direct_fused_io_tiles(
+                u.astype(io),
+                kf_re,
+                kf_im,
+                pregate.astype(io) if both_gates else None,
+                postgate.astype(io) if both_gates else None,
+                plan.dft_re[0].astype(cd),
+                plan.dft_im[0].astype(cd),
+                plan.idft_re[0].astype(cd),
+                plan.idft_im[0].astype(cd),
+                seqlen=plan.seqlen,
+                compute_dtype=plan.compute_dtype_name,
+                gated=both_gates,
+                ht=ht,
+            )
+            return out.astype(out_dtype)
+        # fall back: XLA einsum direct path
+        return _conv_raw_xla_direct(plan, ug, kf_re, kf_im, postgate, length, out_dtype)
+
     if len(plan.factors) == 2:
         io = _io_dtype(plan, u.dtype)
-        both_gates = pregate is not None and postgate is not None
-        no_gates = pregate is None and postgate is None
         if (
             u.ndim == 3
             and u.shape[0] % 2 == 0

@@ -122,3 +122,32 @@ def test_pallas_4level_path(rng, seqlen):
     g_ref = jax.grad(lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=(0, 1))(u, k)
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("gated", [False, True])
+def test_direct_fused_io_path(rng, gated):
+    """The <=1024 direct-DFT fused kernel (single-factor plans)."""
+    seqlen = 512
+    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    assert len(plan.factors) == 1 and mp.supported(plan)
+    data = _data(rng, 4, 16, seqlen, gated=gated)
+    y = mp.fft_conv_pallas(plan, *data)
+    y_ref = fft_conv_reference(seqlen, *data)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    dout = jnp.asarray(rng.standard_normal(data[0].shape).astype(np.float32) * 0.02)
+    argnums = tuple(range(len(data)))
+    g = jax.grad(lambda *a: jnp.sum(mp.fft_conv_pallas(plan, *a) * dout), argnums=argnums)(*data)
+    g_ref = jax.grad(lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=argnums)(*data)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_direct_fused_io_padded_fallback(rng):
+    """L < N at single-factor sizes falls back to the XLA direct path."""
+    seqlen = 512
+    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    u, k = _data(rng, 4, 16, seqlen // 2)
+    y = mp.fft_conv_pallas(plan, u, k)
+    y_ref = fft_conv_reference(seqlen, u, k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
