@@ -523,7 +523,10 @@ def _io_dtype(plan: FftPlan, x_dtype):
     compute keeps f32 I/O."""
     if plan.compute_dtype == jnp.float32:
         return jnp.float32
-    return jnp.dtype(x_dtype) if jnp.dtype(x_dtype).itemsize <= 2 else jnp.float32
+    if jnp.dtype(x_dtype).itemsize <= 2:
+        # f16 kernels don't lower on Mosaic; bf16 carries 16-bit I/O.
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def _layout(plan: FftPlan, x: jax.Array, dtype=jnp.float32) -> jax.Array:
@@ -1215,8 +1218,7 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
             u.ndim == 3
             and u.shape[0] % 2 == 0
             and u.shape[1] % _H_TILE == 0
-            and length % plan.factors[1] == 0
-            and length >= 8 * plan.factors[1]
+            and length % (8 * plan.factors[1]) == 0
             and (both_gates or no_gates)
         ):
             # Fully-fused I/O path: relayout, padding and gating in-kernel.
@@ -1379,11 +1381,7 @@ def _gated_bwd(plan_key, res, dout):
         # Fused backward kernel: one pass computes du, the recomputed y (for
         # dpostgate) and the grid-accumulated dk_f partials.
         io = _io_dtype(plan, u.dtype)
-        if (
-            u.shape[1] % _H_TILE == 0
-            and length % plan.factors[1] == 0
-            and length >= 8 * plan.factors[1]
-        ):
+        if u.shape[1] % _H_TILE == 0 and length % (8 * plan.factors[1]) == 0:
             du4, y4, dkr, dki = _bwd_fused_io_tiles(
                 ug.astype(io),
                 g.astype(io),

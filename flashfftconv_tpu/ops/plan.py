@@ -164,6 +164,10 @@ def make_plan(
     compute_dtype is the dtype matmul *operands* are cast to (accumulation is
     always f32 via preferred_element_type); tables themselves are stored f32.
     """
+    # TPU has no fp16 MXU path and Mosaic won't lower f16 kernels; the
+    # reference's fp16 mode maps to bf16 here (same width, wider exponent).
+    if jnp.dtype(compute_dtype) == jnp.float16:
+        compute_dtype = jnp.bfloat16
     if factors is None:
         factors = default_factors(seqlen)
     else:
