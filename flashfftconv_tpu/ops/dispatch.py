@@ -13,7 +13,7 @@ time, so there is no host dispatch cost inside the compiled program.
 
 from __future__ import annotations
 
-import functools
+
 import os
 
 import jax

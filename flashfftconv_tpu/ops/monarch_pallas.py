@@ -35,7 +35,6 @@ conv.py:587-588).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -17,12 +17,12 @@ three-stage pipeline.
 from __future__ import annotations
 
 import math
-from typing import Sequence
+
 
 import jax
 import jax.numpy as jnp
 
-from flashfftconv_tpu.ops.plan import FftPlan, kf_permute
+from flashfftconv_tpu.ops.plan import FftPlan
 
 
 def _stage_matmul(fre, fim, xre, xim, axis_from_end, compute_dtype):
