@@ -344,11 +344,18 @@ def _direct_fused_io_tiles(
     )(*inputs)
 
 
-@functools.partial(jax.jit, static_argnames=("plan_factors", "compute_dtype"))
-def _spectrum_tiles(k4, f1re, f1im, w1re, w1im, f2re, f2im, plan_factors, compute_dtype):
+@functools.partial(
+    jax.jit, static_argnames=("plan_factors", "compute_dtype", "out_dtype")
+)
+def _spectrum_tiles(
+    k4, f1re, f1im, w1re, w1im, f2re, f2im, plan_factors, compute_dtype,
+    out_dtype=jnp.float32,
+):
     """Kernel-spectrum Pallas kernel for 2-factor plans: real (H, N1, N2)
-    kernel taps -> planar f32 Monarch-layout spectrum. One channel per grid
-    step (6 small matmuls); the pass is output-bandwidth-bound."""
+    kernel taps -> planar Monarch-layout spectrum, emitted at out_dtype (the
+    conv kernels read k_f at compute dtype, so emitting bf16 here halves the
+    spectrum write + downstream read with no extra cast pass). One channel
+    per grid step (6 small matmuls); the pass is output-bandwidth-bound."""
     h, n1, n2 = k4.shape
     assert plan_factors == (n1, n2)
     grid = (h,)
@@ -368,22 +375,174 @@ def _spectrum_tiles(k4, f1re, f1im, w1re, w1im, f2re, f2im, plan_factors, comput
             xre * w1r[...] - xim * w1i[...],
             xre * w1i[...] + xim * w1r[...],
         )
-        or_ref[0] = mm(xre, f2r[...]) - mm(xim, f2i[...])
-        oi_ref[0] = mm(xre, f2i[...]) + mm(xim, f2r[...])
+        or_ref[0] = (mm(xre, f2r[...]) - mm(xim, f2i[...])).astype(or_ref.dtype)
+        oi_ref[0] = (mm(xre, f2i[...]) + mm(xim, f2r[...])).astype(oi_ref.dtype)
 
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[tile] + [small] * 6,
         out_specs=[tile, tile],
-        out_shape=[jax.ShapeDtypeStruct((h, n1, n2), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((h, n1, n2), out_dtype)] * 2,
         interpret=_interpret(),
     )(k4, f1re, f1im, w1re, w1im, f2re, f2im)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("factors", "compute_dtype", "out_dtype", "complex_in"),
+)
+def _fwd_dft_tiles(
+    x_re, x_im, c0_re, c0_im, w0_re, w0_im, tables5,
+    factors, compute_dtype, out_dtype, complex_in,
+):
+    """Fused 3-stage forward Monarch DFT over (C, f0, n1, n2) tiles: outer
+    f0-point DFT across chunks + outer twiddle + per-chunk (n1, n2) 2-way DFT,
+    one channel per grid step, emitting the planar spectrum at out_dtype.
+
+    Used for the >=64K kernel-spectrum computation (k -> k_f): the XLA einsum
+    path materializes full planar f32 intermediates per stage in HBM, which
+    measured 9.7 ms at N=262144/H=192 on v5e — ~70% of the whole conv call.
+    This kernel is one HBM round trip. (The reference pays cuFFT for the same
+    step, conv.py:573-575.)
+    """
+    c, f0, n1, n2 = x_re.shape
+    assert factors == (f0, n1, n2)
+    grid = (c,)
+    tile = pl.BlockSpec((1, f0, n1, n2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    w0_spec = pl.BlockSpec(
+        (1, f0, n1, n2), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f1r_t, f1i_t, w1r_t, w1i_t, f2r_t, f2i_t = tables5
+
+    in_specs = [tile] + ([tile] if complex_in else [])
+    inputs = [x_re] + ([x_im] if complex_in else [])
+    in_specs += [small, small, w0_spec, w0_spec] + [small] * 6
+    inputs += [c0_re, c0_im, w0_re[None], w0_im[None], f1r_t, f1i_t, w1r_t, w1i_t, f2r_t, f2i_t]
+
+    def kernel(*refs):
+        i = 0
+        xr_ref = refs[i]; i += 1
+        xi_ref = None
+        if complex_in:
+            xi_ref = refs[i]; i += 1
+        c0r, c0i, w0r, w0i = refs[i : i + 4]; i += 4
+        f1r, f1i, w1r, w1i, f2r, f2i = refs[i : i + 6]; i += 6
+        or_ref, oi_ref = refs[i], refs[i + 1]
+
+        def mm(a, b):
+            return jnp.dot(
+                a.astype(compute_dtype), b.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+
+        def cmul(are, aim, bre, bim):
+            return are * bre - aim * bim, are * bim + aim * bre
+
+        f1r_m, f1i_m = f1r[...], f1i[...]
+        w1r_m, w1i_m = w1r[...], w1i[...]
+        f2r_m, f2i_m = f2r[...], f2i[...]
+
+        if complex_in:
+            xs = [
+                (xr_ref[0, cc].astype(jnp.float32), xi_ref[0, cc].astype(jnp.float32))
+                for cc in range(f0)
+            ]
+        else:
+            xs = [(xr_ref[0, cc].astype(jnp.float32), None) for cc in range(f0)]
+
+        for k0 in range(f0):
+            acc_re = acc_im = None
+            for cc in range(f0):
+                cr = c0r[k0, cc]
+                ci = c0i[k0, cc]
+                xr, xi = xs[cc]
+                tr = xr * cr if xi is None else xr * cr - xi * ci
+                ti = xr * ci if xi is None else xr * ci + xi * cr
+                acc_re = tr if acc_re is None else acc_re + tr
+                acc_im = ti if acc_im is None else acc_im + ti
+            xre, xim = cmul(acc_re, acc_im, w0r[0, k0], w0i[0, k0])
+            rr = mm(f1r_m, xre) - mm(f1i_m, xim)
+            ri = mm(f1r_m, xim) + mm(f1i_m, xre)
+            xre, xim = cmul(rr, ri, w1r_m, w1i_m)
+            or_ref[0, k0] = (mm(xre, f2r_m) - mm(xim, f2i_m)).astype(or_ref.dtype)
+            oi_ref[0, k0] = (mm(xre, f2i_m) + mm(xim, f2r_m)).astype(oi_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[tile, tile],
+        out_shape=[jax.ShapeDtypeStruct((c, f0, n1, n2), out_dtype)] * 2,
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=c * f0 * (8 * f0 * n1 * n2 + 8 * n1 * n1 * n2 + 8 * n1 * n2 * n2),
+            bytes_accessed=c * f0 * n1 * n2 * ((8 if complex_in else 4) + 4),
+            transcendentals=0,
+        ),
+    )(*inputs)
+
+
+def _spectrum_tables(plan: FftPlan, base: int):
+    """(c0, w0, inner-DFT) table bundle for _fwd_dft_tiles at stages
+    (base, base+1, base+2)."""
+    f0 = plan.factors[base]
+    n1, n2 = plan.factors[base + 1], plan.factors[base + 2]
+    return (
+        plan.dft_re[base], plan.dft_im[base],
+        plan.tw_re[base].reshape(f0, n1, n2), plan.tw_im[base].reshape(f0, n1, n2),
+        (
+            plan.dft_re[base + 1], plan.dft_im[base + 1],
+            plan.tw_re[base + 1], plan.tw_im[base + 1],
+            plan.dft_re[base + 2], plan.dft_im[base + 2],
+        ),
+    )
+
+
 def _kernel_spectrum(plan: FftPlan, k: jax.Array):
-    """Monarch-layout spectrum of the conv kernel; Pallas for 2-factor plans
-    on TPU, XLA einsums otherwise."""
+    """Monarch-layout spectrum of the conv kernel; fused Pallas kernels on
+    TPU (all plan arities), XLA einsums otherwise."""
+    if len(plan.factors) >= 3 and k.ndim == 2 and not _interpret():
+        n = plan.seqlen
+        h = k.shape[0]
+        kk = k.astype(jnp.float32)
+        if kk.shape[-1] < n:
+            kk = jnp.pad(kk, ((0, 0), (0, n - kk.shape[-1])))
+        out_dtype = plan.compute_dtype_name
+        if len(plan.factors) == 3:
+            f0, n1, n2 = plan.factors
+            c0r, c0i, w0r, w0i, tables5 = _spectrum_tables(plan, 0)
+            return _fwd_dft_tiles(
+                kk.reshape(h, f0, n1, n2), None, c0r, c0i, w0r, w0i, tables5,
+                factors=plan.factors, compute_dtype=plan.compute_dtype_name,
+                out_dtype=out_dtype, complex_in=False,
+            )
+        f00, f0, n1, n2 = plan.factors
+        r = n // f00
+        rt = r // 128
+        bre, bim = _butterfly_tiles(
+            kk.reshape(1, h, f00, rt, 128), None,
+            plan.dft_re[0], plan.dft_im[0],
+            plan.tw_re[0].reshape(f00, rt, 128),
+            plan.tw_im[0].reshape(f00, rt, 128),
+            compute_dtype=plan.compute_dtype,
+            io_dtype=jnp.bfloat16 if plan.compute_dtype != jnp.float32 else jnp.float32,
+            packed=False,
+            inverse=False,
+        )
+        c0r, c0i, w0r, w0i, tables5 = _spectrum_tables(plan, 1)
+        kfr, kfi = _fwd_dft_tiles(
+            bre.reshape(h * f00, f0, n1, n2),
+            bim.reshape(h * f00, f0, n1, n2),
+            c0r, c0i, w0r, w0i, tables5,
+            factors=plan.factors[1:], compute_dtype=plan.compute_dtype_name,
+            out_dtype=out_dtype, complex_in=True,
+        )
+        return (
+            kfr.reshape(h, f00, f0, n1, n2),
+            kfi.reshape(h, f00, f0, n1, n2),
+        )
     if len(plan.factors) == 2 and k.ndim == 2 and not _interpret():
         n1, n2 = plan.factors
         n = plan.seqlen
@@ -398,6 +557,7 @@ def _kernel_spectrum(plan: FftPlan, k: jax.Array):
             plan.dft_re[1], plan.dft_im[1],
             plan_factors=plan.factors,
             compute_dtype=plan.compute_dtype_name,
+            out_dtype=plan.compute_dtype_name,
         )
     return monarch_xla.kernel_spectrum(plan, k)
 
@@ -1049,22 +1209,28 @@ def _butterfly_tiles(
     """
     b, h, f00, rt, lanes = x_re.shape
     assert lanes == 128
-    trt = min(rt, 64)
-    assert rt % trt == 0
+    # Tile size bounded by VMEM (~6 MB live per step incl. f32 intermediates);
+    # bigger tiles amortize per-step dispatch and make DMAs sequential.
+    trt = min(rt, max(64, 2 ** 21 // (f00 * 128 * 8)))
+    while rt % trt:
+        trt //= 2
     t = trt * 128
     bc = b // 2 if (packed and not inverse) else b  # complex-side batch
-    grid = (bc, h, rt // trt)
+    # h is the MINOR grid axis so the f32 twiddle block (index depends only
+    # on s) is fetched once per s, not once per step — at 1M/B=1 the twiddle
+    # re-fetch otherwise exceeds the signal traffic itself.
+    grid = (bc, rt // trt, h)
 
     pair_tile = pl.BlockSpec(
-        (2, 1, f00, trt, 128), lambda i, j, s: (i, j, 0, s, 0),
+        (2, 1, f00, trt, 128), lambda i, s, j: (i, j, 0, s, 0),
         memory_space=pltpu.VMEM,
     )
     one_tile = pl.BlockSpec(
-        (1, 1, f00, trt, 128), lambda i, j, s: (i, j, 0, s, 0),
+        (1, 1, f00, trt, 128), lambda i, s, j: (i, j, 0, s, 0),
         memory_space=pltpu.VMEM,
     )
     w_spec = pl.BlockSpec(
-        (f00, trt, 128), lambda i, j, s: (0, s, 0), memory_space=pltpu.VMEM
+        (f00, trt, 128), lambda i, s, j: (0, s, 0), memory_space=pltpu.VMEM
     )
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -1175,6 +1341,17 @@ def _conv_raw_xla_direct(plan, ug, kf_re, kf_im, postgate, length, out_dtype):
     return out.astype(out_dtype)
 
 
+def _kf_cast(plan, kf_re, kf_im):
+    """Kernel-spectrum HBM dtype for the tile kernels: the compute dtype
+    (bf16). At small B the f32 spectrum read otherwise dominates HBM traffic
+    (e.g. 1M/B=1: 805 MB of k_f vs 402 MB of signal). The reference stores
+    k_f at compute dtype too (fp16; conv.py:585)."""
+    dt = plan.compute_dtype
+    if dt == jnp.float32:
+        return kf_re, kf_im
+    return kf_re.astype(dt), kf_im.astype(dt)
+
+
 def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
     """postgate * iFFT(FFT(pre*u) * k_f)[:L] with k_f given in Monarch layout."""
     length = u.shape[-1]
@@ -1211,6 +1388,7 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
         # fall back: XLA einsum direct path
         return _conv_raw_xla_direct(plan, ug, kf_re, kf_im, postgate, length, out_dtype)
 
+    kf_re, kf_im = _kf_cast(plan, kf_re, kf_im)
     if len(plan.factors) == 2:
         io = _io_dtype(plan, u.dtype)
         if (
@@ -1375,6 +1553,7 @@ def _gated_bwd(plan_key, res, dout):
 
     g = dout if postgate is None else dout * postgate
     ug = u if pregate is None else u * pregate
+    kfc_re, kfc_im = _kf_cast(plan, kf_re, kf_im)
 
     if len(plan.factors) == 2 and u.ndim == 3:
         # Fused backward kernel: one pass computes du, the recomputed y (for
@@ -1384,8 +1563,8 @@ def _gated_bwd(plan_key, res, dout):
             du4, y4, dkr, dki = _bwd_fused_io_tiles(
                 ug.astype(io),
                 g.astype(io),
-                kf_re,
-                kf_im,
+                kfc_re,
+                kfc_im,
                 _tables(plan),
                 plan_factors=plan.factors,
                 seqlen=plan.seqlen,
@@ -1400,8 +1579,8 @@ def _gated_bwd(plan_key, res, dout):
             du4, y4, dkr, dki = _bwd_tiles(
                 u4,
                 g4,
-                kf_re,
-                kf_im,
+                kfc_re,
+                kfc_im,
                 _tables(plan),
                 plan_factors=plan.factors,
                 compute_dtype=plan.compute_dtype_name,
