@@ -58,6 +58,10 @@ class HyenaOperator(nn.Module):
     conv_dtype: Any = jnp.bfloat16
     impl: str = "auto"
     filter_args: dict | None = None
+    # The HyenaDNA reference uses nn.Linear (with bias) for the in-projection
+    # (hyenadna_standalone.py:254); the Hyena-LM reference folds it into the
+    # matmul without bias. Enable for checkpoint-import parity with HyenaDNA.
+    in_proj_bias: bool = False
 
     @nn.compact
     def __call__(self, u, deterministic: bool = True):
@@ -76,6 +80,9 @@ class HyenaOperator(nn.Module):
             "in_proj", nn.initializers.lecun_normal(), (inner, self.d_model)
         )
         x = jnp.einsum("od,bdl->bol", w_in.astype(u.dtype), u)
+        if self.in_proj_bias:
+            b_in = self.param("in_proj_b", nn.initializers.zeros, (inner,))
+            x = x + b_in.astype(x.dtype)[None, :, None]
 
         x = ShortDepthwiseConv(
             inner, self.short_filter_order, padding=self.short_filter_order // 2,

@@ -1,0 +1,255 @@
+"""Pretrained-checkpoint import: torch state dicts -> flax param pytrees.
+
+TPU-native equivalent of the reference's HuggingFace checkpoint surgery for
+HyenaDNA (/root/reference/examples/hyena-dna/huggingface.py:28-152): the
+reference downloads a torch checkpoint, strips the ``model.`` prefix, undoes
+the gradient-checkpointing ``.mixer.layer`` / ``.mlp.layer`` key injection
+(huggingface.py:28-46) and copies tensors by name. Here the same surgery maps
+the torch tensors into the param tree of
+:class:`flashfftconv_tpu.models.lm.ConvLMHeadModel` (mixer="hyena"), with the
+torch->flax layout changes (``nn.Linear`` weights transposed to Dense kernels,
+``nn.Conv1d`` depthwise weights squeezed to ``(channels, K)``).
+
+No network access is assumed: callers pass a local ``state_dict``-like mapping
+(e.g. from ``torch.load(path, map_location="cpu")``) or a directory produced by
+``git clone https://huggingface.co/LongSafari/<model>`` elsewhere.
+
+Known deliberate differences (documented, verified by tests):
+  - ``pos_emb.z`` / ``pos_emb.t`` are trainable in the reference (lr 1e-5,
+    hyenadna_standalone.py:94-112) but are deterministic constants here with
+    identical init values; pretrained z/t that drifted from init are reported
+    in ``ImportReport.skipped`` rather than silently dropped.
+  - The lm head is weight-tied in both stacks, so ``lm_head.weight`` is
+    skipped in favor of the embedding table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class ImportReport:
+    """What happened to each source key during an import."""
+
+    used: list[str] = dataclasses.field(default_factory=list)
+    skipped: list[str] = dataclasses.field(default_factory=list)
+    missing: list[str] = dataclasses.field(default_factory=list)  # target paths left at init
+
+
+def _np(t) -> np.ndarray:
+    """torch.Tensor | np.ndarray -> float32 numpy (torch only imported if needed)."""
+    if isinstance(t, np.ndarray):
+        return t.astype(np.float32)
+    # torch tensor (cpu): .detach().numpy() without importing torch at module scope
+    return np.asarray(t.detach().to("cpu").float().numpy())
+
+
+def strip_checkpointing_keys(key: str) -> str:
+    """Undo the gradient-checkpointing key injection (the inverse of the
+    reference's ``inject_substring``, huggingface.py:28-46)."""
+    key = re.sub(r"\.mixer\.layer\.", ".mixer.", key)
+    key = re.sub(r"\.mlp\.layer\.", ".mlp.", key)
+    return key
+
+
+def normalize_state_dict(state: Mapping[str, Any]) -> dict[str, Any]:
+    """Unwrap {'state_dict': ...}, strip ``model.`` prefixes and
+    checkpointing-injected segments (huggingface.py:55-69)."""
+    if "state_dict" in state and isinstance(state["state_dict"], Mapping):
+        state = state["state_dict"]
+    out = {}
+    for k, v in state.items():
+        k = strip_checkpointing_keys(k)
+        if k.startswith("model."):
+            k = k[len("model.") :]
+        out[k] = v
+    return out
+
+
+def torch_linear(w) -> np.ndarray:
+    """torch nn.Linear weight (out, in) -> flax Dense kernel (in, out)."""
+    return _np(w).T
+
+
+def load_torch_checkpoint(path: str) -> dict[str, Any]:
+    """torch.load a checkpoint file to cpu and normalize its keys."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    return normalize_state_dict(state)
+
+
+def _filter_params(state: dict, prefix: str, report: ImportReport) -> dict:
+    """Map one HyenaFilter's torch params (``implicit_filter.{j}`` Sequential,
+    ``bias``, ``modulation.deltas``) into our flax HyenaFilter tree."""
+    out: dict[str, Any] = {}
+    if f"{prefix}.bias" in state:
+        out["bias"] = _np(state[f"{prefix}.bias"])
+        report.used.append(f"{prefix}.bias")
+    # Sequential indices map 1:1 onto our layers_{j} list (Dense/Sin/.../Dense).
+    j = 0
+    while True:
+        wk = f"{prefix}.implicit_filter.{j}.weight"
+        fk = f"{prefix}.implicit_filter.{j}.freq"
+        if wk in state:
+            layer = {"kernel": torch_linear(state[wk])}
+            report.used.append(wk)
+            bk = f"{prefix}.implicit_filter.{j}.bias"
+            if bk in state:
+                layer["bias"] = _np(state[bk])
+                report.used.append(bk)
+            out[f"layers_{j}"] = layer
+        elif fk in state:
+            out[f"layers_{j}"] = {"freq": _np(state[fk])}
+            report.used.append(fk)
+        else:
+            break
+        j += 1
+    dk = f"{prefix}.modulation.deltas"
+    if dk in state:
+        out["modulation"] = {"deltas": _np(state[dk])}
+        report.used.append(dk)
+    # pos_emb z/t are constants here (see module docstring).
+    for name in ("z", "t"):
+        k = f"{prefix}.pos_emb.{name}"
+        if k in state:
+            report.skipped.append(k)
+    return out
+
+
+def _mixer_params(state: dict, prefix: str, report: ImportReport) -> dict:
+    out: dict[str, Any] = {}
+    if f"{prefix}.in_proj.weight" in state:
+        # Our in_proj param keeps the torch (out, in) orientation (it is
+        # consumed by einsum("od,bdl"), models/hyena.py).
+        out["in_proj"] = _np(state[f"{prefix}.in_proj.weight"])
+        report.used.append(f"{prefix}.in_proj.weight")
+    if f"{prefix}.in_proj.bias" in state:
+        out["in_proj_b"] = _np(state[f"{prefix}.in_proj.bias"])
+        report.used.append(f"{prefix}.in_proj.bias")
+    if f"{prefix}.short_filter.weight" in state:
+        w = _np(state[f"{prefix}.short_filter.weight"])  # (C, 1, K) depthwise
+        out["short_filter"] = {"weights": w[:, 0, :]}
+        report.used.append(f"{prefix}.short_filter.weight")
+        if f"{prefix}.short_filter.bias" in state:
+            out["short_filter"]["bias"] = _np(state[f"{prefix}.short_filter.bias"])
+            report.used.append(f"{prefix}.short_filter.bias")
+    filt = _filter_params(state, f"{prefix}.filter_fn", report)
+    if filt:
+        out["filter"] = filt
+    if f"{prefix}.out_proj.weight" in state:
+        out["out_proj"] = {"kernel": torch_linear(state[f"{prefix}.out_proj.weight"])}
+        report.used.append(f"{prefix}.out_proj.weight")
+        if f"{prefix}.out_proj.bias" in state:
+            out["out_proj"]["bias"] = _np(state[f"{prefix}.out_proj.bias"])
+            report.used.append(f"{prefix}.out_proj.bias")
+    return out
+
+
+def _norm(state: dict, prefix: str, report: ImportReport) -> dict:
+    out = {}
+    if f"{prefix}.weight" in state:
+        out["scale"] = _np(state[f"{prefix}.weight"])
+        report.used.append(f"{prefix}.weight")
+    if f"{prefix}.bias" in state:
+        out["bias"] = _np(state[f"{prefix}.bias"])
+        report.used.append(f"{prefix}.bias")
+    return out
+
+
+def hyenadna_to_flax(
+    state: Mapping[str, Any], n_layer: int | None = None
+) -> tuple[dict, ImportReport]:
+    """Map a (normalized) HyenaDNA torch state dict onto the param tree of
+    ``ConvLMHeadModel(mixer="hyena", mixer_kwargs={"in_proj_bias": True})``.
+
+    Returns (params, report). ``params`` contains only imported leaves; merge
+    over freshly-initialized params with :func:`merge_params` so anything the
+    checkpoint lacks keeps its init value (and shows up in report.missing).
+    """
+    state = normalize_state_dict(state)
+    report = ImportReport()
+
+    if n_layer is None:
+        layer_ids = {
+            int(m.group(1))
+            for k in state
+            if (m := re.match(r"backbone\.layers\.(\d+)\.", k))
+        }
+        n_layer = max(layer_ids) + 1 if layer_ids else 0
+
+    params: dict[str, Any] = {}
+    emb_key = "backbone.embeddings.word_embeddings.weight"
+    if emb_key in state:
+        params["embeddings"] = {"embedding": _np(state[emb_key])}
+        report.used.append(emb_key)
+
+    backbone: dict[str, Any] = {}
+    for i in range(n_layer):
+        p = f"backbone.layers.{i}"
+        block: dict[str, Any] = {}
+        mixer = _mixer_params(state, f"{p}.mixer", report)
+        if mixer:
+            block["mixer"] = mixer
+        for norm in ("norm1", "norm2"):
+            n = _norm(state, f"{p}.{norm}", report)
+            if n:
+                block[norm] = n
+        mlp = {}
+        for fc in ("fc1", "fc2"):
+            if f"{p}.mlp.{fc}.weight" in state:
+                mlp[fc] = {"kernel": torch_linear(state[f"{p}.mlp.{fc}.weight"])}
+                report.used.append(f"{p}.mlp.{fc}.weight")
+                if f"{p}.mlp.{fc}.bias" in state:
+                    mlp[fc]["bias"] = _np(state[f"{p}.mlp.{fc}.bias"])
+                    report.used.append(f"{p}.mlp.{fc}.bias")
+        if mlp:
+            block["mlp"] = mlp
+        if block:
+            backbone[f"block_{i}"] = block
+    ln_f = _norm(state, "backbone.ln_f", report)
+    if ln_f:
+        backbone["ln_f"] = ln_f
+    if backbone:
+        params["backbone"] = backbone
+
+    handled = set(report.used) | set(report.skipped)
+    for k in state:
+        if k in handled:
+            continue
+        # lm_head is tied to the embedding; heads for downstream tasks are
+        # intentionally not part of the backbone import.
+        report.skipped.append(k)
+    return params, report
+
+
+def merge_params(init_params: Any, imported: dict, report: ImportReport | None = None):
+    """Overlay imported leaves onto an initialized param tree; leaves absent
+    from ``imported`` keep their init values (recorded in report.missing)."""
+
+    def rec(init_node, imp_node, path):
+        if not isinstance(init_node, (dict, Mapping)):
+            if imp_node is None:
+                if report is not None:
+                    report.missing.append(path)
+                return init_node
+            arr = jnp.asarray(imp_node)
+            if arr.shape != jnp.shape(init_node):
+                raise ValueError(
+                    f"shape mismatch at {path}: checkpoint {arr.shape} "
+                    f"vs model {jnp.shape(init_node)}"
+                )
+            return arr.astype(jnp.asarray(init_node).dtype)
+        out = {}
+        for k, v in init_node.items():
+            sub = imp_node.get(k) if isinstance(imp_node, (dict, Mapping)) else None
+            out[k] = rec(v, sub, f"{path}/{k}" if path else k)
+        return out
+
+    return rec(init_params, imported, "")

@@ -1,0 +1,151 @@
+"""Checkpoint-import tests: HyenaDNA-style torch state dicts -> flax params.
+
+The reference loads pretrained HyenaDNA weights with key surgery
+(/root/reference/examples/hyena-dna/huggingface.py:28-69); these tests build a
+synthetic state dict with that exact key layout and verify the mapping,
+layout transposes, merge semantics and the end-to-end forward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashfftconv_tpu.models.lm import ConvLMHeadModel
+from flashfftconv_tpu.utils.checkpoint_import import (
+    ImportReport,
+    hyenadna_to_flax,
+    merge_params,
+    normalize_state_dict,
+    strip_checkpointing_keys,
+)
+
+D, INNER_MLP, VOCAB, LMAX, NLAYER = 32, 64, 16, 128, 2
+FILTER_ORDER = 64
+
+
+def _torch_style_state(rng) -> dict:
+    """Synthetic HyenaDNA state dict (numpy stands in for torch tensors)."""
+    f = lambda *s: rng.standard_normal(s).astype(np.float32)
+    state = {"backbone.embeddings.word_embeddings.weight": f(VOCAB, D)}
+    for i in range(NLAYER):
+        p = f"backbone.layers.{i}"
+        inner = 3 * D  # order=2 -> (order+1)*d_model
+        state |= {
+            f"{p}.mixer.in_proj.weight": f(inner, D),
+            f"{p}.mixer.in_proj.bias": f(inner),
+            f"{p}.mixer.short_filter.weight": f(inner, 1, 3),
+            f"{p}.mixer.short_filter.bias": f(inner),
+            f"{p}.mixer.filter_fn.bias": f(D),
+            f"{p}.mixer.filter_fn.pos_emb.z": f(1, LMAX, 3),
+            f"{p}.mixer.filter_fn.pos_emb.t": f(1, LMAX, 1),
+            f"{p}.mixer.out_proj.weight": f(D, D),
+            f"{p}.mixer.out_proj.bias": f(D),
+            f"{p}.norm1.weight": f(D),
+            f"{p}.norm1.bias": f(D),
+            f"{p}.norm2.weight": f(D),
+            f"{p}.norm2.bias": f(D),
+            f"{p}.mlp.fc1.weight": f(INNER_MLP, D),
+            f"{p}.mlp.fc1.bias": f(INNER_MLP),
+            f"{p}.mlp.fc2.weight": f(D, INNER_MLP),
+            f"{p}.mlp.fc2.bias": f(D),
+        }
+        # implicit filter MLP: Linear/Sin x3 + final Linear (no bias)
+        widths = [(3, FILTER_ORDER), (FILTER_ORDER, FILTER_ORDER), (FILTER_ORDER, FILTER_ORDER)]
+        j = 0
+        for cin, cout in widths:
+            state[f"{p}.mixer.filter_fn.implicit_filter.{j}.weight"] = f(cout, cin)
+            state[f"{p}.mixer.filter_fn.implicit_filter.{j}.bias"] = f(cout)
+            state[f"{p}.mixer.filter_fn.implicit_filter.{j + 1}.freq"] = f(1, FILTER_ORDER)
+            j += 2
+        state[f"{p}.mixer.filter_fn.implicit_filter.{j}.weight"] = f(D, FILTER_ORDER)
+    state["backbone.ln_f.weight"] = f(D)
+    state["backbone.ln_f.bias"] = f(D)
+    state["lm_head.weight"] = f(VOCAB, D)  # tied; must be skipped
+    return state
+
+
+def _model():
+    return ConvLMHeadModel(
+        d_model=D,
+        n_layer=NLAYER,
+        d_inner=INNER_MLP,
+        vocab_size=VOCAB,
+        l_max=LMAX,
+        mixer="hyena",
+        mixer_kwargs={"in_proj_bias": True, "conv_dtype": jnp.float32, "impl": "xla"},
+        embed_dropout=0.0,
+        dtype=jnp.float32,
+    )
+
+
+def test_key_surgery():
+    assert (
+        strip_checkpointing_keys("backbone.layers.0.mixer.layer.in_proj.weight")
+        == "backbone.layers.0.mixer.in_proj.weight"
+    )
+    assert (
+        strip_checkpointing_keys("backbone.layers.3.mlp.layer.fc1.bias")
+        == "backbone.layers.3.mlp.fc1.bias"
+    )
+    state = normalize_state_dict(
+        {"state_dict": {"model.backbone.ln_f.weight": np.zeros(3)}}
+    )
+    assert list(state) == ["backbone.ln_f.weight"]
+
+
+def test_hyenadna_import_end_to_end(rng):
+    state = _torch_style_state(rng)
+    imported, report = hyenadna_to_flax(state)
+
+    # layout checks
+    np.testing.assert_array_equal(
+        imported["embeddings"]["embedding"],
+        state["backbone.embeddings.word_embeddings.weight"],
+    )
+    np.testing.assert_array_equal(  # Linear -> Dense transpose
+        imported["backbone"]["block_0"]["mlp"]["fc1"]["kernel"],
+        state["backbone.layers.0.mlp.fc1.weight"].T,
+    )
+    np.testing.assert_array_equal(  # in_proj keeps (out, in)
+        imported["backbone"]["block_0"]["mixer"]["in_proj"],
+        state["backbone.layers.0.mixer.in_proj.weight"],
+    )
+    np.testing.assert_array_equal(  # Conv1d (C,1,K) -> (C,K)
+        imported["backbone"]["block_1"]["mixer"]["short_filter"]["weights"],
+        state["backbone.layers.1.mixer.short_filter.weight"][:, 0, :],
+    )
+    np.testing.assert_array_equal(
+        imported["backbone"]["ln_f"]["scale"], state["backbone.ln_f.weight"]
+    )
+
+    # pos_emb constants and the tied lm head are skipped, nothing else
+    assert {k for k in report.skipped if "pos_emb" not in k} == {"lm_head.weight"}
+    assert not [k for k in state if k not in report.used and k not in report.skipped]
+
+    # merge over init params and run
+    model = _model()
+    ids = jnp.asarray(rng.integers(0, VOCAB, (2, LMAX)))
+    init = model.init(jax.random.PRNGKey(0), ids)["params"]
+    rep = ImportReport()
+    params = merge_params(init, imported, rep)
+    assert not rep.missing, f"unimported leaves: {rep.missing}"
+    logits = model.apply({"params": params}, ids)
+    assert logits.shape == (2, LMAX, VOCAB)
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+    # the imported weights actually changed the function
+    logits0 = model.apply({"params": init}, ids)
+    assert float(jnp.abs(logits - logits0).max()) > 1e-3
+
+
+def test_merge_shape_mismatch_raises(rng):
+    state = _torch_style_state(rng)
+    state["backbone.ln_f.weight"] = np.zeros(D + 1, np.float32)
+    imported, _ = hyenadna_to_flax(state)
+    model = _model()
+    init = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, LMAX), jnp.int32)
+    )["params"]
+    with pytest.raises(ValueError, match="shape mismatch"):
+        merge_params(init, imported)
