@@ -41,20 +41,33 @@ def set_b_h(seqlen: int) -> tuple[int, int]:
     return 1, 32
 
 
-def timeit(f, *args, iters=10, warmup=2):
-    """Pipelined timing: block once after the loop. Per-call blocking adds a
-    ~25 ms host<->device sync round trip per iteration in this environment
-    (axon relay), which would swamp the kernels being measured."""
+def timeit(f, *args, iters=None, warmup=2):
+    """Pipelined timing: block once after the loop. The axon relay charges a
+    fixed ~30 ms host<->device sync per block_until_ready, so the iteration
+    count is auto-scaled until the loop body dominates (>= ~2 s or 200
+    iters), then the sync cost is subtracted via a two-point fit:
+    t_n = T + C/n measured at n and 2n gives T = 2*t_2n - t_n."""
     import jax
 
     for _ in range(warmup):
         out = f(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+
+    def loop(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = f(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    if iters is None:
+        est = loop(3)
+        iters = max(10, min(200, int(2.0 / max(est, 1e-4))))
+    t_half = loop(max(iters // 2, 1))
+    t_full = loop(iters)
+    # subtract the per-loop fixed sync cost (never below the raw average/2)
+    return max(2 * t_full - t_half, t_full / 2)
 
 
 def main():
@@ -69,7 +82,7 @@ def main():
             "BENCH_SIZES", "1024,4096,32768,262144,1048576"
         ).split(",")
     ]
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "0")) or None
     rng = np.random.default_rng(0)
 
     speedups = []
@@ -87,11 +100,8 @@ def main():
         mine = jax.jit(lambda u, k, pre, post: conv(u, k, pre, post))
         orac = jax.jit(lambda u, k, pre, post: ff.fft_conv_reference(n, u, k, pre, post))
 
-        # XLA's FFT op runs at seconds per call for n >= 64K on TPU, so cap
-        # the oracle's iteration count at long sizes.
-        ref_iters = iters if n <= 32768 else 2
         t_mine = timeit(mine, u, k, pre, post, iters=iters)
-        t_ref = timeit(orac, u, k, pre, post, iters=ref_iters, warmup=1)
+        t_ref = timeit(orac, u, k, pre, post, iters=iters, warmup=1)
         sp = t_ref / t_mine
         speedups.append(sp)
         details[n] = {"flash_ms": t_mine * 1e3, "jnpfft_ms": t_ref * 1e3, "speedup": sp}

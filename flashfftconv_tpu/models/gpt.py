@@ -1,0 +1,96 @@
+"""GPT / OPT transformer LMs (flax) — the attention-based model family the
+reference vendors alongside its conv models
+(/root/reference/examples/hyena/flash-attention/flash_attn/models/gpt.py and
+models/opt.py: GPTLMHeadModel with learned positional embeddings, pre-norm
+blocks, tied lm head; the OPT variant adds a word-embedding projection for
+widths where embed_dim != d_model and a final layer norm).
+
+These reuse the same pre-norm Block as the conv LMs (models.lm) with the
+"mha" mixer, so conv <-> attention swaps stay config-level, and the TP/DP
+shardings from parallel.mesh apply unchanged (Dense kernels shard on the
+same axes).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from flashfftconv_tpu.models.lm import Block
+
+
+class GPTLMHeadModel(nn.Module):
+    """GPT-2-style LM: word + learned position embeddings -> n_layer pre-norm
+    MHA blocks -> final LN -> tied lm head (flash_attn/models/gpt.py)."""
+
+    d_model: int
+    n_layer: int
+    d_inner: int
+    vocab_size: int
+    l_max: int
+    num_heads: int = 8
+    embed_dropout: float = 0.1
+    resid_dropout: float = 0.0
+    pad_vocab_size_multiple: int = 8
+    # OPT variants with word_embed_proj_dim != d_model project the embedding
+    # in and out (flash_attn/models/opt.py remaps project_in/project_out).
+    embed_dim: int | None = None
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids, deterministic: bool = True):
+        b, l = input_ids.shape
+        vocab = self.vocab_size
+        if vocab % self.pad_vocab_size_multiple:
+            vocab += self.pad_vocab_size_multiple - vocab % self.pad_vocab_size_multiple
+        embed_dim = self.embed_dim or self.d_model
+
+        embed = nn.Embed(vocab, embed_dim, dtype=self.dtype, name="embeddings")
+        pos = self.param(
+            "pos_embeddings",
+            nn.initializers.normal(0.02),
+            (self.l_max, embed_dim),
+        )
+        x = embed(input_ids) + pos[:l].astype(self.dtype)
+        if embed_dim != self.d_model:
+            x = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="project_in")(x)
+        x = nn.Dropout(rate=self.embed_dropout)(x, deterministic=deterministic)
+
+        for i in range(self.n_layer):
+            x = Block(
+                d_model=self.d_model,
+                d_inner=self.d_inner,
+                mixer="mha",
+                mixer_kwargs={"num_heads": self.num_heads, "causal": True},
+                resid_dropout=self.resid_dropout,
+                name=f"block_{i}",
+            )(x, deterministic=deterministic)
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
+        if embed_dim != self.d_model:
+            h = nn.Dense(embed_dim, use_bias=False, dtype=self.dtype, name="project_out")(
+                h.astype(self.dtype)
+            )
+        return embed.attend(h.astype(embed.dtype)).astype(jnp.float32)
+
+
+def opt_lm(vocab_size: int, l_max: int, width: str = "125m", **kwargs) -> GPTLMHeadModel:
+    """OPT configuration shortcuts (flash_attn/models/opt.py config remap)."""
+    cfgs = {
+        "125m": dict(d_model=768, n_layer=12, num_heads=12, embed_dim=None),
+        "350m": dict(d_model=1024, n_layer=24, num_heads=16, embed_dim=512),
+        "1.3b": dict(d_model=2048, n_layer=24, num_heads=32, embed_dim=None),
+    }
+    cfg = cfgs[width]
+    return GPTLMHeadModel(
+        d_model=cfg["d_model"],
+        n_layer=cfg["n_layer"],
+        d_inner=4 * cfg["d_model"],
+        vocab_size=vocab_size,
+        l_max=l_max,
+        num_heads=cfg["num_heads"],
+        embed_dim=cfg["embed_dim"],
+        **kwargs,
+    )

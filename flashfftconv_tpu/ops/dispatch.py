@@ -45,9 +45,6 @@ def resolve_impl(plan: FftPlan, impl: str = "auto") -> str:
         return impl
     if os.environ.get("FLASHFFTCONV_FORCE_XLA"):
         return "xla"
-    # Single-matmul (direct DFT) plans (<=1024) run best as plain XLA
-    # einsums; the fused Pallas kernels win from 2K upward (measured on v5e:
-    # 2048: 3.97 vs 4.60ms xla; 4096: 4.81 vs 9.80; 32K: 12 vs 42).
     if _default_platform() == "tpu" and _pallas_supported(plan):
         return "pallas"
     return "xla"

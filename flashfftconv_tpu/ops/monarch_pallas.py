@@ -54,10 +54,10 @@ def supported(plan: FftPlan) -> bool:
     of the reference's butterfly -> monarch_conv_*_complex -> butterfly_ifft
     chain, conv.py:692-1733)."""
     if len(plan.factors) == 1:
-        # Direct-DFT fused kernel. At 1024 the XLA batched matmul (full-M
-        # MXU utilization over all B*H rows) measures faster, so the kernel
-        # only takes <= 512.
-        return plan.seqlen <= 512
+        # Direct-DFT fused kernel (explicit 1-factor plans; default plans are
+        # 2-factor from 256 up). Measured faster than the XLA batched matmul
+        # up to 1024 (1.84 vs 2.05 ms at B=16/H=768/N=1024 on v5e).
+        return plan.seqlen <= 1024
     if len(plan.factors) == 2:
         return 256 <= plan.seqlen <= MAX_FUSED_SEQLEN
     if len(plan.factors) == 3:
@@ -156,28 +156,68 @@ def _conv_kernel(
         o_im_ref[0, 0] = im.astype(o_im_ref.dtype)
 
 
-_H_TILE = 8  # channels per grid step in the fused-I/O kernel
+_H_TILE = 8  # minimum channels per grid step in the fused-I/O kernels
+
+
+def _group_size(n1: int) -> int:
+    """Channels convolved per stage-1 matmul: g = 128 // n1 (>= 1). For small
+    n1 the stage-1 contraction alone (K = n1, as low as 2) would waste the
+    128-deep MXU; instead g channels are merged into one (g*n1, n2) tile and
+    multiplied by a block-diagonal DFT matrix diag(F1 x g), giving every
+    matmul full contraction depth. Leading-dim merges are free in VMEM, so
+    there is no relayout cost."""
+    return max(1, 128 // n1)
+
+
+def _h_tile(n1: int, n2: int, h: int) -> int | None:
+    """Channels per grid step: a multiple of the group size, capped so the
+    per-step VMEM working set (~6 bf16/f32 buffers of ht*N) stays a few MB.
+    None if h doesn't tile into any valid ht."""
+    g = _group_size(n1)
+    n = n1 * n2
+    cap = max(g, _H_TILE, min(64, (1 << 18) // n))
+    ht = cap - (cap % g)
+    while ht >= g:
+        if h % ht == 0:
+            return ht
+        ht -= g
+    return None
+
+
+def _block_diag(mre, mim, g: int):
+    """(f, f) planar complex matrix -> (g*f, g*f) block-diagonal planar."""
+    if g == 1:
+        return mre, mim
+    f = mre.shape[0]
+    eye = jnp.eye(g, dtype=mre.dtype)
+    bd = lambda m: jnp.einsum("ab,ij->aibj", eye, m).reshape(g * f, g * f)
+    return bd(mre), bd(mim)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan_factors", "seqlen", "compute_dtype", "gated"),
+    static_argnames=("plan_factors", "seqlen", "compute_dtype", "gated", "ht"),
 )
 def _conv_fused_io_tiles(
     u, kf_re, kf_im, pregate, postgate, tables,
-    plan_factors, seqlen, compute_dtype, gated,
+    plan_factors, seqlen, compute_dtype, gated, ht,
 ):
     """Fully-fused 2-factor forward: reads u (B, H, L) directly, does the
     (L,) -> (N1, N2) relayout, zero-padding, gating, and the packed complex
     conv chain all inside the kernel, and writes (B, H, L) back. One HBM
     round trip total — the exact analog of the reference's fused kernel
     with BlockLoad zero-fill + in/out-gate multiplies
-    (kernels_fp16/monarch_cuda_kernel.h:258-390). Requires even B and
-    H % _H_TILE == 0 (dispatch falls back otherwise)."""
+    (kernels_fp16/monarch_cuda_kernel.h:258-390).
+
+    Channels are processed in groups of g = 128//n1 per matmul (block-diag
+    stage-1, see _group_size), so every MXU op has >= 128 contraction depth
+    at every size 256..32K. Requires even B and h % ht == 0 with ht a
+    multiple of g (dispatch falls back otherwise)."""
     b, h, length = u.shape
     n1, n2 = plan_factors
     n = seqlen
-    ht = _H_TILE
+    g = _group_size(n1)
+    assert ht % g == 0 and h % ht == 0
     grid = (h // ht, b // 2)
 
     io_spec = pl.BlockSpec(
@@ -186,8 +226,12 @@ def _conv_fused_io_tiles(
     kf_spec = pl.BlockSpec((ht, n1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    f1r, f1i, w1r, w1i, f2r, f2i, if2r, if2i, if1r, if1i = tables
+    f1r, f1i = _block_diag(f1r, f1i, g)
+    if1r, if1i = _block_diag(if1r, if1i, g)
+
     in_specs = [io_spec, kf_spec, kf_spec] + [small] * 10
-    inputs = [u, kf_re, kf_im, *tables]
+    inputs = [u, kf_re, kf_im, f1r, f1i, w1r, w1i, f2r, f2i, if2r, if2i, if1r, if1i]
     if gated:
         in_specs += [io_spec, io_spec]
         inputs += [pregate, postgate]
@@ -211,50 +255,59 @@ def _conv_fused_io_tiles(
             return are * bre - aim * bim, are * bim + aim * bre
 
         f1r_m, f1i_m = f1r[...], f1i[...]
-        w1r_m, w1i_m = w1r[...], w1i[...]
+        w1r_m = w1r[...][None]  # (1, n1, n2), broadcasts over the group
+        w1i_m = w1i[...][None]
         f2r_m, f2i_m = f2r[...], f2i[...]
         if2r_m, if2i_m = if2r[...], if2i[...]
         if1r_m, if1i_m = if1r[...], if1i[...]
 
         rows = length // n2
 
-        def to_tile(v):
-            # 2D pad (1D pad lowers to an unsupported Mosaic concatenate);
-            # f32 for the padded tile — bf16 sub-16-sublane tiles are
-            # unsupported by Mosaic (needs rows >= 8, gated in dispatch).
-            if length == n:
-                return v.reshape(n1, n2)
-            v2 = v.astype(jnp.float32).reshape(rows, n2)
-            return jnp.pad(v2, ((0, n1 - rows), (0, 0)))
+        def to_tiles(v):
+            # (g, rows, n2) -> zero-pad rows to n1. f32, 3D pad on the
+            # sublane axis (1D lane pads lower to unsupported concats).
+            v = v.astype(jnp.float32).reshape(g, rows, n2)
+            if rows < n1:
+                v = jnp.pad(v, ((0, 0), (0, n1 - rows), (0, 0)))
+            return v
 
-        for c in range(ht):
-            a = u_ref[0, c]
-            bb = u_ref[1, c]
+        def m2(x3):  # (g, n1, n2) -> (g*n1, n2), free merge
+            return x3.reshape(g * n1, n2)
+
+        def m3(x2):  # inverse
+            return x2.reshape(g, n1, n2)
+
+        for grp in range(ht // g):
+            sl = slice(grp * g, (grp + 1) * g)
+            a = u_ref[0, sl]
+            bb = u_ref[1, sl]
             if pre_ref is not None:
-                a = a * pre_ref[0, c]
-                bb = bb * pre_ref[1, c]
-            xre = to_tile(a)
-            xim = to_tile(bb)
+                a = a * pre_ref[0, sl]
+                bb = bb * pre_ref[1, sl]
+            xre = to_tiles(a)
+            xim = to_tiles(bb)
 
-            rr = mm(f1r_m, xre) - mm(f1i_m, xim)
-            ri = mm(f1r_m, xim) + mm(f1i_m, xre)
-            xre, xim = cmul(rr, ri, w1r_m, w1i_m)
-            rr = mm(xre, f2r_m) - mm(xim, f2i_m)
-            ri = mm(xre, f2i_m) + mm(xim, f2r_m)
-            xre, xim = cmul(rr, ri, kfr[c], kfi[c])
-            rr = mm(xre, if2r_m) - mm(xim, if2i_m)
-            ri = mm(xre, if2i_m) + mm(xim, if2r_m)
-            xre, xim = cmul(rr, ri, w1r_m, -w1i_m)
-            rre = mm(if1r_m, xre) - mm(if1i_m, xim)
-            rim = mm(if1r_m, xim) + mm(if1i_m, xre)
+            # stage 1: block-diag DFT along n1 for all g channels at once
+            rr = mm(f1r_m, m2(xre)) - mm(f1i_m, m2(xim))
+            ri = mm(f1r_m, m2(xim)) + mm(f1i_m, m2(xre))
+            xre, xim = cmul(m3(rr), m3(ri), w1r_m, w1i_m)
+            # stage 2: DFT along n2 (shared across channels)
+            rr = mm(m2(xre), f2r_m) - mm(m2(xim), f2i_m)
+            ri = mm(m2(xre), f2i_m) + mm(m2(xim), f2r_m)
+            xre, xim = cmul(m3(rr), m3(ri), kfr[sl], kfi[sl])
+            rr = mm(m2(xre), if2r_m) - mm(m2(xim), if2i_m)
+            ri = mm(m2(xre), if2i_m) + mm(m2(xim), if2r_m)
+            xre, xim = cmul(m3(rr), m3(ri), w1r_m, -w1i_m)
+            rre = m3(mm(if1r_m, m2(xre)) - mm(if1i_m, m2(xim)))
+            rim = m3(mm(if1r_m, m2(xim)) + mm(if1i_m, m2(xre)))
 
-            r0 = rre[:rows].reshape(length)
-            r1 = rim[:rows].reshape(length)
+            r0 = rre[:, :rows].reshape(g, length)
+            r1 = rim[:, :rows].reshape(g, length)
             if post_ref is not None:
-                r0 = r0 * post_ref[0, c].astype(jnp.float32)
-                r1 = r1 * post_ref[1, c].astype(jnp.float32)
-            o_ref[0, c] = r0.astype(o_ref.dtype)
-            o_ref[1, c] = r1.astype(o_ref.dtype)
+                r0 = r0 * post_ref[0, sl].astype(jnp.float32)
+                r1 = r1 * post_ref[1, sl].astype(jnp.float32)
+            o_ref[0, sl] = r0.astype(o_ref.dtype)
+            o_ref[1, sl] = r1.astype(o_ref.dtype)
 
     flops_per_pair = 2 * (8 * n1 * n1 * n2 + 8 * n1 * n2 * n2)
     return pl.pallas_call(
@@ -355,12 +408,17 @@ def _spectrum_tiles(
     kernel taps -> planar Monarch-layout spectrum, emitted at out_dtype (the
     conv kernels read k_f at compute dtype, so emitting bf16 here halves the
     spectrum write + downstream read with no extra cast pass). One channel
-    per grid step (6 small matmuls); the pass is output-bandwidth-bound."""
+    group (g = 128//n1, block-diag stage-1) per grid step; the pass is
+    output-bandwidth-bound."""
     h, n1, n2 = k4.shape
     assert plan_factors == (n1, n2)
-    grid = (h,)
-    tile = pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    g = _group_size(n1)
+    if h % g:
+        g = 1
+    grid = (h // g,)
+    tile = pl.BlockSpec((g, n1, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f1re, f1im = _block_diag(f1re, f1im, g)
 
     def kernel(k_ref, f1r, f1i, w1r, w1i, f2r, f2i, or_ref, oi_ref):
         def mm(a, b):
@@ -369,14 +427,24 @@ def _spectrum_tiles(
                 preferred_element_type=jnp.float32,
             )
 
-        x = k_ref[0]
+        x = k_ref[...].reshape(g * n1, n2)
         xre, xim = mm(f1r[...], x), mm(f1i[...], x)
+        xre = xre.reshape(g, n1, n2)
+        xim = xim.reshape(g, n1, n2)
+        w1r_m = w1r[...][None]
+        w1i_m = w1i[...][None]
         xre, xim = (
-            xre * w1r[...] - xim * w1i[...],
-            xre * w1i[...] + xim * w1r[...],
+            xre * w1r_m - xim * w1i_m,
+            xre * w1i_m + xim * w1r_m,
         )
-        or_ref[0] = (mm(xre, f2r[...]) - mm(xim, f2i[...])).astype(or_ref.dtype)
-        oi_ref[0] = (mm(xre, f2i[...]) + mm(xim, f2r[...])).astype(oi_ref.dtype)
+        xre = xre.reshape(g * n1, n2)
+        xim = xim.reshape(g * n1, n2)
+        or_ref[...] = (
+            (mm(xre, f2r[...]) - mm(xim, f2i[...])).reshape(g, n1, n2).astype(or_ref.dtype)
+        )
+        oi_ref[...] = (
+            (mm(xre, f2i[...]) + mm(xim, f2r[...])).reshape(g, n1, n2).astype(oi_ref.dtype)
+        )
 
     return pl.pallas_call(
         kernel,
@@ -543,7 +611,12 @@ def _kernel_spectrum(plan: FftPlan, k: jax.Array):
             kfr.reshape(h, f00, f0, n1, n2),
             kfi.reshape(h, f00, f0, n1, n2),
         )
-    if len(plan.factors) == 2 and k.ndim == 2 and not _interpret():
+    if (
+        len(plan.factors) == 2
+        and k.ndim == 2
+        and not _interpret()
+        and (plan.factors[0] >= 16 or k.shape[0] % _group_size(plan.factors[0]) == 0)
+    ):
         n1, n2 = plan.factors
         n = plan.seqlen
         kk = k.astype(plan.compute_dtype if plan.compute_dtype != jnp.float32 else jnp.float32)
@@ -798,19 +871,21 @@ def _bwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan_factors", "seqlen", "compute_dtype", "need_y"),
+    static_argnames=("plan_factors", "seqlen", "compute_dtype", "need_y", "ht"),
 )
 def _bwd_fused_io_tiles(
-    u, g, kf_re, kf_im, tables, plan_factors, seqlen, compute_dtype, need_y
+    u, g_, kf_re, kf_im, tables, plan_factors, seqlen, compute_dtype, need_y, ht
 ):
-    """Fully-fused 2-factor backward with direct (B, H, L) I/O: per channel,
-    recompute U = DFT(u), G = DFT(g), emit du = IDFT(G * conj(K)) and
+    """Fully-fused 2-factor backward with direct (B, H, L) I/O: per channel
+    group, recompute U = DFT(u), G = DFT(g), emit du = IDFT(G * conj(K)) and
     (optionally) y = IDFT(U * K), and accumulate dk_f += G * conj(U) across
-    the batch grid axis. Relayout/padding/truncation happen in-kernel."""
+    the batch grid axis. Relayout/padding/truncation happen in-kernel.
+    Channel-grouped matmuls as in _conv_fused_io_tiles."""
     b, h, length = u.shape
     n1, n2 = plan_factors
     n = seqlen
-    ht = _H_TILE
+    g = _group_size(n1)
+    assert ht % g == 0 and h % ht == 0
     grid = (h // ht, b)
 
     io_spec = pl.BlockSpec(
@@ -818,6 +893,11 @@ def _bwd_fused_io_tiles(
     )
     kf_spec = pl.BlockSpec((ht, n1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    f1r_t, f1i_t, w1r_t, w1i_t, f2r_t, f2i_t, if2r_t, if2i_t, if1r_t, if1i_t = tables
+    f1r_t, f1i_t = _block_diag(f1r_t, f1i_t, g)
+    if1r_t, if1i_t = _block_diag(if1r_t, if1i_t, g)
+    tables = (f1r_t, f1i_t, w1r_t, w1i_t, f2r_t, f2i_t, if2r_t, if2i_t, if1r_t, if1i_t)
 
     out_shape = [jax.ShapeDtypeStruct((b, h, length), u.dtype)]
     out_specs = [io_spec]
@@ -847,60 +927,67 @@ def _bwd_fused_io_tiles(
             return are * bre - aim * bim, are * bim + aim * bre
 
         f1r_m, f1i_m = f1r[...], f1i[...]
-        w1r_m, w1i_m = w1r[...], w1i[...]
+        w1r_m = w1r[...][None]
+        w1i_m = w1i[...][None]
         f2r_m, f2i_m = f2r[...], f2i[...]
         if2r_m, if2i_m = if2r[...], if2i[...]
         if1r_m, if1i_m = if1r[...], if1i[...]
         j = pl.program_id(1)
 
-        def fwd_dft(x):
-            xre, xim = mm(f1r_m, x), mm(f1i_m, x)
-            xre, xim = cmul(xre, xim, w1r_m, w1i_m)
+        def m2(x3):
+            return x3.reshape(g * n1, n2)
+
+        def m3(x2):
+            return x2.reshape(g, n1, n2)
+
+        def fwd_dft(x3):  # (g, n1, n2) real -> planar (g, n1, n2)
+            xre, xim = mm(f1r_m, m2(x3)), mm(f1i_m, m2(x3))
+            xre, xim = cmul(m3(xre), m3(xim), w1r_m, w1i_m)
             return (
-                mm(xre, f2r_m) - mm(xim, f2i_m),
-                mm(xre, f2i_m) + mm(xim, f2r_m),
+                m3(mm(m2(xre), f2r_m) - mm(m2(xim), f2i_m)),
+                m3(mm(m2(xre), f2i_m) + mm(m2(xim), f2r_m)),
             )
 
         def inv_dft_real(xre, xim):
-            rr = mm(xre, if2r_m) - mm(xim, if2i_m)
-            ri = mm(xre, if2i_m) + mm(xim, if2r_m)
-            rr, ri = cmul(rr, ri, w1r_m, -w1i_m)
-            return mm(if1r_m, rr) - mm(if1i_m, ri)
+            rr = mm(m2(xre), if2r_m) - mm(m2(xim), if2i_m)
+            ri = mm(m2(xre), if2i_m) + mm(m2(xim), if2r_m)
+            rr, ri = cmul(m3(rr), m3(ri), w1r_m, -w1i_m)
+            return m3(mm(if1r_m, m2(rr)) - mm(if1i_m, m2(ri)))
 
         rows = length // n2
 
-        def load(ref, c):
-            x = ref[0, c]
-            if length == n:
-                return x.reshape(n1, n2)
-            x2 = x.astype(jnp.float32).reshape(rows, n2)
-            return jnp.pad(x2, ((0, n1 - rows), (0, 0)))
+        def load(ref, sl):
+            x = ref[0, sl].astype(jnp.float32).reshape(g, rows, n2)
+            if rows < n1:
+                x = jnp.pad(x, ((0, 0), (0, n1 - rows), (0, 0)))
+            return x
 
-        for c in range(ht):
-            ure, uim = fwd_dft(load(u_ref, c))
-            gre, gim = fwd_dft(load(g_ref, c))
+        for grp in range(ht // g):
+            sl = slice(grp * g, (grp + 1) * g)
+            ure, uim = fwd_dft(load(u_ref, sl))
+            gre, gim = fwd_dft(load(g_ref, sl))
 
             pre_ = gre * ure + gim * uim
             pim_ = gim * ure - gre * uim
 
             @pl.when(j == 0)
-            def _(c=c, pre_=pre_, pim_=pim_):
-                dkr[c] = pre_
-                dki[c] = pim_
+            def _(sl=sl, pre_=pre_, pim_=pim_):
+                dkr[sl] = pre_
+                dki[sl] = pim_
 
             @pl.when(j > 0)
-            def _(c=c, pre_=pre_, pim_=pim_):
-                dkr[c] += pre_
-                dki[c] += pim_
+            def _(sl=sl, pre_=pre_, pim_=pim_):
+                dkr[sl] += pre_
+                dki[sl] += pim_
 
-            dre, dim_ = cmul(gre, gim, kfr[c], -kfi[c])
-            du_ref[0, c] = (
-                inv_dft_real(dre, dim_)[:rows].reshape(length).astype(du_ref.dtype)
+            dre, dim_ = cmul(gre, gim, kfr[sl], -kfi[sl])
+            du_ref[0, sl] = (
+                inv_dft_real(dre, dim_)[:, :rows].reshape(g, length).astype(du_ref.dtype)
             )
             if y_ref is not None:
-                yre, yim = cmul(ure, uim, kfr[c], kfi[c])
-                y_ref[0, c] = (
-                    inv_dft_real(yre, yim)[:rows].reshape(length).astype(y_ref.dtype)
+                yre, yim = cmul(ure, uim, kfr[sl], kfi[sl])
+                y_ref[0, sl] = (
+                    inv_dft_real(yre, yim)[:, :rows].reshape(g, length).astype(y_ref.dtype)
                 )
 
     outs = pl.pallas_call(
@@ -915,7 +1002,7 @@ def _bwd_fused_io_tiles(
             bytes_accessed=b * h * length * (8 if need_y else 6),
             transcendentals=0,
         ),
-    )(u, g, kf_re, kf_im, *tables)
+    )(u, g_, kf_re, kf_im, *tables)
     if need_y:
         du, y, dkr, dki = outs
     else:
@@ -1326,8 +1413,9 @@ def _butterfly_tiles(
 
 
 def _conv_raw_xla_direct(plan, ug, kf_re, kf_im, postgate, length, out_dtype):
-    """Single-factor (direct DFT) conv via XLA einsums, with kf already in
-    natural order (1-factor Monarch layout == natural)."""
+    """Conv via XLA Monarch einsums with kf already in Monarch layout.
+    Fallback for shapes the tile kernels can't take (also: 1-factor Monarch
+    layout == natural order, so this is the whole direct-DFT path)."""
     x = ug.astype(jnp.float32)
     if length < plan.seqlen:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, plan.seqlen - length)])
@@ -1391,11 +1479,11 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
     kf_re, kf_im = _kf_cast(plan, kf_re, kf_im)
     if len(plan.factors) == 2:
         io = _io_dtype(plan, u.dtype)
+        ht = _h_tile(*plan.factors, u.shape[1]) if u.ndim == 3 else None
         if (
-            u.ndim == 3
+            ht is not None
             and u.shape[0] % 2 == 0
-            and u.shape[1] % _H_TILE == 0
-            and length % (8 * plan.factors[1]) == 0
+            and length % plan.factors[1] == 0
             and (both_gates or no_gates)
         ):
             # Fully-fused I/O path: relayout, padding and gating in-kernel.
@@ -1410,8 +1498,15 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
                 seqlen=plan.seqlen,
                 compute_dtype=plan.compute_dtype_name,
                 gated=both_gates,
+                ht=ht,
             )
             return out.astype(out_dtype)
+        if plan.factors[0] < 16:
+            # sub-tile n1 (bf16 needs >= 16 sublanes, f32 >= 8); tiny-n1 odd
+            # shapes go to XLA instead of the per-channel tile kernels.
+            return _conv_raw_xla_direct(
+                plan, ug, kf_re, kf_im, postgate, length, out_dtype
+            )
         u4 = _layout(plan, ug, dtype=io)
         packed = u4.ndim == 4 and u4.shape[0] % 2 == 0 and u4.shape[0] >= 2
         o4, _ = _conv_tiles(
@@ -1555,11 +1650,18 @@ def _gated_bwd(plan_key, res, dout):
     ug = u if pregate is None else u * pregate
     kfc_re, kfc_im = _kf_cast(plan, kf_re, kf_im)
 
-    if len(plan.factors) == 2 and u.ndim == 3:
+    small_n1 = plan.factors[0] < 16
+    if (
+        len(plan.factors) == 2
+        and u.ndim == 3
+        and not (small_n1 and (_h_tile(*plan.factors, u.shape[1]) is None
+                               or length % plan.factors[1]))
+    ):
         # Fused backward kernel: one pass computes du, the recomputed y (for
         # dpostgate) and the grid-accumulated dk_f partials.
         io = _io_dtype(plan, u.dtype)
-        if u.shape[1] % _H_TILE == 0 and length % (8 * plan.factors[1]) == 0:
+        ht = _h_tile(*plan.factors, u.shape[1])
+        if ht is not None and length % plan.factors[1] == 0:
             du4, y4, dkr, dki = _bwd_fused_io_tiles(
                 ug.astype(io),
                 g.astype(io),
@@ -1570,6 +1672,7 @@ def _gated_bwd(plan_key, res, dout):
                 seqlen=plan.seqlen,
                 compute_dtype=plan.compute_dtype_name,
                 need_y=postgate is not None,
+                ht=ht,
             )
             du_inner = du4.astype(jnp.float32)
             y_inner = None if y4 is None else y4.astype(jnp.float32)

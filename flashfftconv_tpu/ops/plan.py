@@ -53,10 +53,12 @@ def is_supported_seqlen(seqlen: int) -> bool:
 
 
 # Below this size a single (N, N) DFT matmul batched over B*H beats the
-# Monarch split on TPU: the MXU runs at full utilization (M = B*H, K = N)
-# while the Monarch stages would have contraction dims of 16-32 (~6% MXU
-# utilization) — the extra FLOPs are cheaper than the idle systolic array.
-DIRECT_MAX = 1024
+# Monarch split on TPU (the extra FLOPs are trivial at N <= 128, and 128
+# lanes need N >= 256 for a 2-way split anyway). 256..1024 use the 2-way
+# split with channel-grouped block-diagonal stage-1 matmuls
+# (monarch_pallas._group_size), which keeps the MXU contraction depth at
+# 128 even though n1 < 128.
+DIRECT_MAX = 128
 
 
 def default_factors(seqlen: int) -> tuple[int, ...]:

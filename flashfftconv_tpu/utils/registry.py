@@ -29,6 +29,11 @@ _REGISTRIES: dict[str, dict[str, str | Callable]] = {
         "lm": "flashfftconv_tpu.models.lm.ConvLMHeadModel",
         "lm-backbone": "flashfftconv_tpu.models.lm.LMBackbone",
         "long-conv-model": "flashfftconv_tpu.models.long_conv.LongConvModel",
+        "gpt": "flashfftconv_tpu.models.gpt.GPTLMHeadModel",
+        "opt": "flashfftconv_tpu.models.gpt.opt_lm",
+        "vit": "flashfftconv_tpu.models.vit.VisionTransformer",
+        "bert": "flashfftconv_tpu.models.bert.M2BertForMaskedLM",
+        "m2-bert": "flashfftconv_tpu.models.bert.M2BertModel",
     },
     "optimizer": {
         "adamw": "optax.adamw",

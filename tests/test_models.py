@@ -303,3 +303,55 @@ def test_fused_ops(rng):
     labels = jnp.asarray([[0, 1, -100, 3, 4], [1, 1, 1, -100, -100], [2, 2, 2, 2, 2]])
     loss = fused.cross_entropy_loss(logits, labels)
     assert np.isfinite(float(loss))
+
+
+def test_gpt_lm_forward_and_grad(rng):
+    from flashfftconv_tpu.models.gpt import GPTLMHeadModel
+
+    model = GPTLMHeadModel(
+        d_model=D, n_layer=2, d_inner=2 * D, vocab_size=16, l_max=L,
+        num_heads=4, embed_dropout=0.0, dtype=jnp.float32,
+    )
+    ids = jnp.asarray(rng.integers(0, 16, (B, L)))
+    params, y = _init_and_run(model, ids)
+    assert y.shape == (B, L, 16)
+    _grad_check(model, params, ids)
+
+
+def test_opt_embed_projection(rng):
+    from flashfftconv_tpu.models.gpt import GPTLMHeadModel
+
+    model = GPTLMHeadModel(
+        d_model=D, n_layer=1, d_inner=2 * D, vocab_size=16, l_max=L,
+        num_heads=4, embed_dim=D // 2, embed_dropout=0.0, dtype=jnp.float32,
+    )
+    ids = jnp.asarray(rng.integers(0, 16, (B, L)))
+    params, y = _init_and_run(model, ids)
+    assert "project_in" in params and "project_out" in params
+    assert y.shape == (B, L, 16)
+
+
+def test_vit_forward_and_grad(rng):
+    from flashfftconv_tpu.models.vit import VisionTransformer
+
+    model = VisionTransformer(
+        num_classes=10, patch_size=8, d_model=D, n_layer=2, num_heads=4,
+        dtype=jnp.float32,
+    )
+    imgs = jnp.asarray(rng.standard_normal((B, 32, 32, 3)).astype(np.float32))
+    params, y = _init_and_run(model, imgs)
+    assert y.shape == (B, 10)
+    _grad_check(model, params, imgs)
+
+
+def test_vit_avg_pool(rng):
+    from flashfftconv_tpu.models.vit import VisionTransformer
+
+    model = VisionTransformer(
+        num_classes=10, patch_size=8, d_model=D, n_layer=1, num_heads=4,
+        global_pool="avg", dtype=jnp.float32,
+    )
+    imgs = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    params, y = _init_and_run(model, imgs)
+    assert "cls_token" not in params
+    assert y.shape == (1, 10)

@@ -126,9 +126,10 @@ def test_pallas_4level_path(rng, seqlen):
 
 @pytest.mark.parametrize("gated", [False, True])
 def test_direct_fused_io_path(rng, gated):
-    """The <=1024 direct-DFT fused kernel (single-factor plans)."""
+    """The <=1024 direct-DFT fused kernel (explicit single-factor plans;
+    default plans are 2-factor from 256 up)."""
     seqlen = 512
-    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    plan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(seqlen,))
     assert len(plan.factors) == 1 and mp.supported(plan)
     data = _data(rng, 4, 16, seqlen, gated=gated)
     y = mp.fft_conv_pallas(plan, *data)
