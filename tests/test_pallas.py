@@ -152,3 +152,21 @@ def test_direct_fused_io_padded_fallback(rng):
     y = mp.fft_conv_pallas(plan, u, k)
     y_ref = fft_conv_reference(seqlen, u, k)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("seqlen", [65536, 524288])
+def test_long_dft_roundtrip(rng, seqlen):
+    """_forward_long_dft / _inverse_long_dft (the >=64K spectrum + dk
+    transforms) against the XLA Monarch DFT oracle, interpret mode."""
+    from flashfftconv_tpu.ops import monarch_xla as mx
+
+    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    h = 2
+    x = jnp.asarray(rng.standard_normal((h, seqlen)).astype(np.float32) * 0.02)
+    fr, fi = mp._forward_long_dft(plan, x)
+    rr, ri = mx.monarch_dft(plan, x.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(fr), np.asarray(rr), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fi), np.asarray(ri), atol=1e-3)
+    # inverse recovers the signal (real part)
+    back = mp._inverse_long_dft(plan, fr, fi)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
