@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -481,10 +482,16 @@ def _fwd_dft_tiles(
     """
     c, f0, n1, n2 = x_re.shape
     assert factors == (f0, n1, n2)
+    # Bands emitted = rows of the outer DFT table (f0, or f0//2+1 when the
+    # caller passes half-band rfft tables for real input).
+    bands = c0_re.shape[0]
     grid = (c,)
     tile = pl.BlockSpec((1, f0, n1, n2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    btile = pl.BlockSpec(
+        (1, bands, n1, n2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
     w0_spec = pl.BlockSpec(
-        (1, f0, n1, n2), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, bands, n1, n2), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
     )
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
     f1r_t, f1i_t, w1r_t, w1i_t, f2r_t, f2i_t = tables5
@@ -527,7 +534,7 @@ def _fwd_dft_tiles(
         else:
             xs = [(xr_ref[0, cc].astype(jnp.float32), None) for cc in range(f0)]
 
-        for k0 in range(f0):
+        for k0 in range(bands):
             acc_re = acc_im = None
             for cc in range(f0):
                 cr = c0r[k0, cc]
@@ -550,12 +557,12 @@ def _fwd_dft_tiles(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[tile, tile],
-        out_shape=[jax.ShapeDtypeStruct((c, f0, n1, n2), out_dtype)] * 2,
+        out_specs=[btile, btile],
+        out_shape=[jax.ShapeDtypeStruct((c, bands, n1, n2), out_dtype)] * 2,
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=c * f0 * (8 * f0 * n1 * n2 + 8 * n1 * n1 * n2 + 8 * n1 * n2 * n2),
-            bytes_accessed=c * f0 * n1 * n2 * ((8 if complex_in else 4) + 4),
+            flops=c * bands * (8 * f0 * n1 * n2 + 8 * n1 * n1 * n2 + 8 * n1 * n2 * n2),
+            bytes_accessed=c * (f0 + bands) * n1 * n2 * 4,
             transcendentals=0,
         ),
     )(*inputs)
@@ -581,17 +588,21 @@ def _inv_dft_tiles(
     intermediates per stage in HBM, just like the forward case this
     mirrors. (The reference pays an fp32 torch.fft.ifft for the same
     step, conv.py:1758-1761.)"""
-    c, f0, n1, n2 = x_re.shape
-    assert factors == (f0, n1, n2)
+    c, bands, n1, n2 = x_re.shape
+    f0 = factors[0]
+    assert factors[1:] == (n1, n2) and ic0_re.shape == (f0, bands)
     grid = (c,)
     tile = pl.BlockSpec((1, f0, n1, n2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    btile = pl.BlockSpec(
+        (1, bands, n1, n2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
     w0_spec = pl.BlockSpec(
-        (1, f0, n1, n2), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, bands, n1, n2), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
     )
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
     if1r_t, if1i_t, w1r_t, w1i_t, if2r_t, if2i_t = tables5
 
-    in_specs = [tile, tile]
+    in_specs = [btile, btile]
     in_specs += [small, small, w0_spec, w0_spec] + [small] * 6
     inputs = [x_re, x_im, ic0_re, ic0_im, w0_re[None], w0_im[None],
               if1r_t, if1i_t, w1r_t, w1i_t, if2r_t, if2i_t]
@@ -619,7 +630,7 @@ def _inv_dft_tiles(
         if2s_m = if2r_m + if2i_m
 
         zs = []
-        for k0 in range(f0):
+        for k0 in range(bands):
             xre = xr_ref[0, k0].astype(jnp.float32)
             xim = xi_ref[0, k0].astype(jnp.float32)
             t1, t2 = mm(xre, if2r_m), mm(xim, if2i_m)
@@ -629,9 +640,11 @@ def _inv_dft_tiles(
             t3 = mm(if1s_m, rr + ri)
             zs.append(cmul(t1 - t2, t3 - t1 - t2, w0r[0, k0], -w0i[0, k0]))
 
+        # (with half-band weighted ic0 the real-part sum over `bands`
+        # reconstructs all f0 chunks of the real output)
         for cc in range(f0):
             acc_re = acc_im = None
-            for k0 in range(f0):
+            for k0 in range(bands):
                 cr = ic0r[cc, k0]
                 ci = ic0i[cc, k0]
                 zr, zi = zs[k0]
@@ -657,8 +670,8 @@ def _inv_dft_tiles(
         out_shape=out_shape if not real_out else out_shape[0],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=c * f0 * (8 * f0 * n1 * n2 + 6 * n1 * n1 * n2 + 6 * n1 * n2 * n2),
-            bytes_accessed=c * f0 * n1 * n2 * (8 + (4 if real_out else 8)),
+            flops=c * bands * (8 * f0 * n1 * n2 + 6 * n1 * n1 * n2 + 6 * n1 * n2 * n2),
+            bytes_accessed=c * n1 * n2 * (8 * bands + f0 * (4 if real_out else 8)),
             transcendentals=0,
         ),
     )(*inputs)
@@ -667,14 +680,22 @@ def _inv_dft_tiles(
     return outs[0], outs[1]
 
 
-def _inv_spectrum_tables(plan: FftPlan, base: int):
+def _inv_spectrum_tables(plan: FftPlan, base: int, half: bool = False):
     """(ic0, conj-able w0, inverse-inner-DFT) table bundle for _inv_dft_tiles
-    at stages (base, base+1, base+2)."""
+    at stages (base, base+1, base+2). half=True slices the band axis to
+    f0//2+1 and weights ic0 columns for the real-output reconstruction."""
     f0 = plan.factors[base]
     n1, n2 = plan.factors[base + 1], plan.factors[base + 2]
+    fh = _half_bands(f0) if half else f0
+    ic0r, ic0i = plan.idft_re[base], plan.idft_im[base]
+    if half:
+        wts = jnp.asarray(_half_weights(f0))
+        ic0r = ic0r[:, :fh] * wts
+        ic0i = ic0i[:, :fh] * wts
     return (
-        plan.idft_re[base], plan.idft_im[base],
-        plan.tw_re[base].reshape(f0, n1, n2), plan.tw_im[base].reshape(f0, n1, n2),
+        ic0r, ic0i,
+        plan.tw_re[base].reshape(f0, n1, n2)[:fh],
+        plan.tw_im[base].reshape(f0, n1, n2)[:fh],
         (
             plan.idft_re[base + 1], plan.idft_im[base + 1],
             plan.tw_re[base + 1], plan.tw_im[base + 1],
@@ -683,14 +704,17 @@ def _inv_spectrum_tables(plan: FftPlan, base: int):
     )
 
 
-def _spectrum_tables(plan: FftPlan, base: int):
+def _spectrum_tables(plan: FftPlan, base: int, half: bool = False):
     """(c0, w0, inner-DFT) table bundle for _fwd_dft_tiles at stages
-    (base, base+1, base+2)."""
+    (base, base+1, base+2). half=True slices the outer-band axis to
+    f0//2+1 (real-input rfft symmetry)."""
     f0 = plan.factors[base]
     n1, n2 = plan.factors[base + 1], plan.factors[base + 2]
+    fh = _half_bands(f0) if half else f0
     return (
-        plan.dft_re[base], plan.dft_im[base],
-        plan.tw_re[base].reshape(f0, n1, n2), plan.tw_im[base].reshape(f0, n1, n2),
+        plan.dft_re[base][:fh], plan.dft_im[base][:fh],
+        plan.tw_re[base].reshape(f0, n1, n2)[:fh],
+        plan.tw_im[base].reshape(f0, n1, n2)[:fh],
         (
             plan.dft_re[base + 1], plan.dft_im[base + 1],
             plan.tw_re[base + 1], plan.tw_im[base + 1],
@@ -699,11 +723,12 @@ def _spectrum_tables(plan: FftPlan, base: int):
     )
 
 
-def _forward_long_dft(plan: FftPlan, x2: jax.Array):
+def _forward_long_dft(plan: FftPlan, x2: jax.Array, half: bool = False):
     """Fused-Pallas forward Monarch DFT of real (C, N) input for long
     (3/4-factor) plans, emitting the planar Monarch-layout spectrum at the
     plan compute dtype: (C, f0, n1, n2) or (C, f00, f0, n1, n2). Input may
-    be shorter than N (implicit zero-pad)."""
+    be shorter than N (implicit zero-pad). half=True emits only the lower
+    f//2+1 bands of the outermost factor (rfft symmetry, _half_bands)."""
     n = plan.seqlen
     h = x2.shape[0]
     if x2.shape[-1] < n:
@@ -711,20 +736,21 @@ def _forward_long_dft(plan: FftPlan, x2: jax.Array):
     out_dtype = plan.compute_dtype_name
     if len(plan.factors) == 3:
         f0, n1, n2 = plan.factors
-        c0r, c0i, w0r, w0i, tables5 = _spectrum_tables(plan, 0)
+        c0r, c0i, w0r, w0i, tables5 = _spectrum_tables(plan, 0, half=half)
         return _fwd_dft_tiles(
             x2.reshape(h, f0, n1, n2), None, c0r, c0i, w0r, w0i, tables5,
             factors=plan.factors, compute_dtype=plan.compute_dtype_name,
             out_dtype=out_dtype, complex_in=False,
         )
     f00, f0, n1, n2 = plan.factors
+    fb = _half_bands(f00) if half else f00
     r = n // f00
     rt = r // 128
     bre, bim = _butterfly_tiles(
         x2.reshape(1, h, f00, rt, 128), None,
-        plan.dft_re[0], plan.dft_im[0],
-        plan.tw_re[0].reshape(f00, rt, 128),
-        plan.tw_im[0].reshape(f00, rt, 128),
+        plan.dft_re[0][:fb], plan.dft_im[0][:fb],
+        plan.tw_re[0].reshape(f00, rt, 128)[:fb],
+        plan.tw_im[0].reshape(f00, rt, 128)[:fb],
         compute_dtype=plan.compute_dtype,
         io_dtype=jnp.bfloat16 if plan.compute_dtype != jnp.float32 else jnp.float32,
         packed=False,
@@ -732,28 +758,31 @@ def _forward_long_dft(plan: FftPlan, x2: jax.Array):
     )
     c0r, c0i, w0r, w0i, tables5 = _spectrum_tables(plan, 1)
     kfr, kfi = _fwd_dft_tiles(
-        bre.reshape(h * f00, f0, n1, n2),
-        bim.reshape(h * f00, f0, n1, n2),
+        bre.reshape(h * fb, f0, n1, n2),
+        bim.reshape(h * fb, f0, n1, n2),
         c0r, c0i, w0r, w0i, tables5,
         factors=plan.factors[1:], compute_dtype=plan.compute_dtype_name,
         out_dtype=out_dtype, complex_in=True,
     )
     return (
-        kfr.reshape(h, f00, f0, n1, n2),
-        kfi.reshape(h, f00, f0, n1, n2),
+        kfr.reshape(h, fb, f0, n1, n2),
+        kfi.reshape(h, fb, f0, n1, n2),
     )
 
 
-def _inverse_long_dft(plan: FftPlan, xre: jax.Array, xim: jax.Array):
+def _inverse_long_dft(plan: FftPlan, xre: jax.Array, xim: jax.Array, half: bool = False):
     """Fused-Pallas inverse Monarch DFT for long (3/4-factor) plans:
     planar Monarch-layout spectrum (C, [f00,] f0, n1, n2) -> real (C, N)
-    signal (imaginary part dropped — real-signal inverse, as for dk)."""
+    signal (imaginary part dropped — real-signal inverse, as for dk).
+    half=True: the input holds only the lower f//2+1 bands of the
+    outermost factor; the weighted inverse reconstructs the full real
+    signal from them (rfft symmetry)."""
     n = plan.seqlen
     h = xre.shape[0]
     io = jnp.bfloat16 if plan.compute_dtype != jnp.float32 else jnp.float32
     if len(plan.factors) == 3:
         f0, n1, n2 = plan.factors
-        ic0r, ic0i, w0r, w0i, tables5 = _inv_spectrum_tables(plan, 0)
+        ic0r, ic0i, w0r, w0i, tables5 = _inv_spectrum_tables(plan, 0, half=half)
         o, _ = _inv_dft_tiles(
             xre.astype(io), xim.astype(io), ic0r, ic0i, w0r, w0i, tables5,
             factors=plan.factors, compute_dtype=plan.compute_dtype_name,
@@ -761,22 +790,29 @@ def _inverse_long_dft(plan: FftPlan, xre: jax.Array, xim: jax.Array):
         )
         return o.reshape(h, n)
     f00, f0, n1, n2 = plan.factors
+    fb = _half_bands(f00) if half else f00
     r = n // f00
     rt = r // 128
     ic0r, ic0i, w0r, w0i, tables5 = _inv_spectrum_tables(plan, 1)
     zre, zim = _inv_dft_tiles(
-        xre.reshape(h * f00, f0, n1, n2).astype(io),
-        xim.reshape(h * f00, f0, n1, n2).astype(io),
+        xre.reshape(h * fb, f0, n1, n2).astype(io),
+        xim.reshape(h * fb, f0, n1, n2).astype(io),
         ic0r, ic0i, w0r, w0i, tables5,
         factors=plan.factors[1:], compute_dtype=plan.compute_dtype_name,
         out_dtype=io, real_out=False,
     )
+    if half:
+        wts = jnp.asarray(_half_weights(f00))
+        bic0r = plan.idft_re[0][:, :fb] * wts
+        bic0i = plan.idft_im[0][:, :fb] * wts
+    else:
+        bic0r, bic0i = plan.idft_re[0], plan.idft_im[0]
     o, _ = _butterfly_tiles(
-        zre.reshape(1, h, f00, rt, 128),
-        zim.reshape(1, h, f00, rt, 128),
-        plan.idft_re[0], plan.idft_im[0],
-        plan.tw_re[0].reshape(f00, rt, 128),
-        plan.tw_im[0].reshape(f00, rt, 128),
+        zre.reshape(1, h, fb, rt, 128),
+        zim.reshape(1, h, fb, rt, 128),
+        bic0r, bic0i,
+        plan.tw_re[0].reshape(f00, rt, 128)[:fb],
+        plan.tw_im[0].reshape(f00, rt, 128)[:fb],
         compute_dtype=plan.compute_dtype,
         io_dtype=jnp.float32,
         packed=False,
@@ -785,11 +821,18 @@ def _inverse_long_dft(plan: FftPlan, xre: jax.Array, xim: jax.Array):
     return o.reshape(h, n)
 
 
-def _kernel_spectrum(plan: FftPlan, k: jax.Array):
+def _kernel_spectrum(plan: FftPlan, k: jax.Array, half: bool = False):
     """Monarch-layout spectrum of the conv kernel; fused Pallas kernels on
-    TPU (all plan arities), XLA einsums otherwise."""
-    if len(plan.factors) >= 3 and k.ndim == 2 and not _interpret():
-        return _forward_long_dft(plan, k.astype(jnp.float32))
+    TPU (all plan arities), XLA einsums otherwise. half=True (long plans,
+    odd-batch conv path) keeps only the lower f//2+1 outer bands."""
+    if len(plan.factors) >= 3 and k.ndim == 2:
+        if not _interpret():
+            return _forward_long_dft(plan, k.astype(jnp.float32), half=half)
+        if half:
+            # interpret/CPU: full XLA spectrum, sliced to the half bands
+            kfr, kfi = monarch_xla.kernel_spectrum(plan, k)
+            fh = _half_bands(plan.factors[0])
+            return kfr[:, :fh], kfi[:, :fh]
     if (
         len(plan.factors) == 2
         and k.ndim == 2
@@ -1340,8 +1383,11 @@ def _long_kernel(
     if2s_m = if2r_m + if2i_m
     if1s_m = if1r_m + if1i_m
 
+    # Bands to process: rows of the outer DFT table — f0, or f0//2+1 when
+    # the caller passes half-band tables (real input, rfft symmetry).
+    bands = c0_ref.shape[0]
     zs = []
-    for k0 in range(f0):
+    for k0 in range(bands):
         acc_re = acc_im = None
         for c in range(f0):
             cr = c0_ref[k0, c]
@@ -1368,10 +1414,11 @@ def _long_kernel(
         # conjugate outer twiddle
         zs.append(cmul(rr2, ri2, w0r_ref[0, k0], -w0i_ref[0, k0]))
 
-    # ---- inverse outer DFT (carries 1/N via ic0/is0) ----------------------
+    # ---- inverse outer DFT (carries 1/N via ic0/is0; with half-band
+    # tables the weighted real-part sum reconstructs all f0 chunks) --------
     for c in range(f0):
         acc_re = acc_im = None
-        for k0 in range(f0):
+        for k0 in range(bands):
             cr = ic0_ref[c, k0]
             ci = is0_ref[c, k0]
             zr, zi = zs[k0]
@@ -1420,11 +1467,12 @@ def _long_tiles(
         tile = pl.BlockSpec(
             (1, 1, f0, n1, n2), lambda i, j: (j, i, 0, 0, 0), memory_space=pltpu.VMEM
         )
+    bands = kf_re.shape[1]  # f0, or f0//2+1 with half-band (rfft) tables
     kf_spec = pl.BlockSpec(
-        (1, f0, n1, n2), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, bands, n1, n2), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     w0_spec = pl.BlockSpec(
-        (1, f0, n1, n2), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, bands, n1, n2), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
     )
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -1490,6 +1538,41 @@ def _outer_tables(plan: FftPlan, base: int = 0):
     )
 
 
+def _half_bands(f0: int) -> int:
+    """Bands 0..f0/2 carry the full information of a real signal's spectrum
+    along the outer factor axis: band f0-k is the conjugate of band k (with
+    the fixed extra inner twist folded out by the conjugate outer twiddle),
+    so only f0//2 + 1 of f0 bands are ever computed. This is the rfft
+    halving the reference only implements for its 512/2048 r2r path
+    (monarch_fwd_r2r.h), applied instead to every >=64K outer stage."""
+    return f0 // 2 + 1
+
+
+def _half_weights(f0: int) -> np.ndarray:
+    """Inverse-reconstruction band weights: conjugate-pair bands contribute
+    twice their real part; the DC and Nyquist bands once."""
+    w = np.full(_half_bands(f0), 2.0, np.float32)
+    w[0] = 1.0
+    w[-1] = 1.0
+    return w
+
+
+def _outer_tables_half(plan: FftPlan, base: int = 0):
+    """_outer_tables restricted to the lower half+1 bands: forward DFT rows
+    and twiddles sliced to fh; inverse DFT columns sliced and weighted so
+    the real-output sum over fh bands equals the full-band sum."""
+    f0 = plan.factors[base]
+    fh = _half_bands(f0)
+    n1, n2 = plan.factors[base + 1], plan.factors[base + 2]
+    w0r = plan.tw_re[base].reshape(f0, n1, n2)[:fh]
+    w0i = plan.tw_im[base].reshape(f0, n1, n2)[:fh]
+    wts = jnp.asarray(_half_weights(f0))
+    return (
+        plan.dft_re[base][:fh], plan.dft_im[base][:fh], w0r, w0i,
+        plan.idft_re[base][:, :fh] * wts, plan.idft_im[base][:, :fh] * wts,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("compute_dtype", "io_dtype", "packed", "inverse")
 )
@@ -1520,14 +1603,21 @@ def _butterfly_tiles(
     analog of the reference's butterfly_gated / butterfly_ifft_gated
     entry points (butterfly.h:97-373). Fusing here saves a full HBM
     round trip per gate vs applying it between kernels.
+
+    Band counts are derived from the table shapes, so half-band (rfft)
+    callers simply pass sliced/weighted tables (_outer_tables_half): the
+    forward emits c_re.shape[0] bands of the fi input chunks; the inverse
+    reconstructs all c_re.shape[0] output chunks from fi input bands.
     """
-    b, h, f00, rt, lanes = x_re.shape
-    assert lanes == 128
+    b, h, fi, rt, lanes = x_re.shape
+    fo = c_re.shape[0]
+    assert lanes == 128 and w_re.shape[0] == (fi if inverse else fo)
     # in-gates only apply to real (possibly pair-packed) forward input
     assert gate is None or inverse or x_im is None
     # Tile size bounded by VMEM (~6 MB live per step incl. f32 intermediates);
     # bigger tiles amortize per-step dispatch and make DMAs sequential.
-    trt = min(rt, max(64, 2 ** 21 // (f00 * 128 * 8)))
+    fmax = max(fi, fo)
+    trt = min(rt, max(64, 2 ** 21 // (fmax * 128 * 8)))
     while rt % trt:
         trt //= 2
     t = trt * 128
@@ -1537,46 +1627,47 @@ def _butterfly_tiles(
     # re-fetch otherwise exceeds the signal traffic itself.
     grid = (bc, rt // trt, h)
 
-    pair_tile = pl.BlockSpec(
-        (2, 1, f00, trt, 128), lambda i, s, j: (i, j, 0, s, 0),
-        memory_space=pltpu.VMEM,
-    )
-    one_tile = pl.BlockSpec(
-        (1, 1, f00, trt, 128), lambda i, s, j: (i, j, 0, s, 0),
-        memory_space=pltpu.VMEM,
-    )
+    def tile(rows, f):
+        return pl.BlockSpec(
+            (rows, 1, f, trt, 128), lambda i, s, j: (i, j, 0, s, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     w_spec = pl.BlockSpec(
-        (f00, trt, 128), lambda i, s, j: (0, s, 0), memory_space=pltpu.VMEM
+        (w_re.shape[0], trt, 128), lambda i, s, j: (0, s, 0),
+        memory_space=pltpu.VMEM,
     )
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     if inverse:
-        in_specs = [one_tile, one_tile]
+        in_specs = [tile(1, fi), tile(1, fi)]
         inputs = [x_re, x_im]
         if packed:
-            out_shape = [jax.ShapeDtypeStruct((2 * b, h, f00, rt, 128), io_dtype)]
-            out_specs = [pair_tile]
+            out_shape = [jax.ShapeDtypeStruct((2 * b, h, fo, rt, 128), io_dtype)]
+            out_specs = [tile(2, fo)]
         else:
-            out_shape = [jax.ShapeDtypeStruct((b, h, f00, rt, 128), io_dtype)]
-            out_specs = [one_tile]
+            out_shape = [jax.ShapeDtypeStruct((b, h, fo, rt, 128), io_dtype)]
+            out_specs = [tile(1, fo)]
+        gate_spec = tile(2, fo) if packed else tile(1, fo)
     else:
         if packed:
-            in_specs = [pair_tile]
+            in_specs = [tile(2, fi)]
             inputs = [x_re]
         elif x_im is not None:
-            in_specs = [one_tile, one_tile]
+            in_specs = [tile(1, fi), tile(1, fi)]
             inputs = [x_re, x_im]
         else:
-            in_specs = [one_tile]
+            in_specs = [tile(1, fi)]
             inputs = [x_re]
-        out_shape = [jax.ShapeDtypeStruct((bc, h, f00, rt, 128), io_dtype)] * 2
-        out_specs = [one_tile, one_tile]
+        out_shape = [jax.ShapeDtypeStruct((bc, h, fo, rt, 128), io_dtype)] * 2
+        out_specs = [tile(1, fo), tile(1, fo)]
+        gate_spec = tile(2, fi) if packed else tile(1, fi)
 
     in_specs += [small, small, w_spec, w_spec]
     inputs += [c_re, c_im, w_re, w_im]
     n_in_x = len(inputs) - 4
     if gate is not None:
-        in_specs.append(pair_tile if packed else one_tile)
+        in_specs.append(gate_spec)
         inputs.append(gate)
 
     def kernel(*refs):
@@ -1594,42 +1685,45 @@ def _butterfly_tiles(
                 preferred_element_type=jnp.float32,
             )
 
-        def flat(ref, row):
-            return ref[row, 0].reshape(f00, t)
+        def flat(ref, row, f):
+            return ref[row, 0].reshape(f, t)
 
         if inverse or (not packed and len(xrefs) == 2):
-            xr = flat(xrefs[0], 0)
-            xi = flat(xrefs[1], 0)
+            xr = flat(xrefs[0], 0, fi)
+            xi = flat(xrefs[1], 0, fi)
         elif packed:
-            xr = flat(xrefs[0], 0)
-            xi = flat(xrefs[0], 1)
+            xr = flat(xrefs[0], 0, fi)
+            xi = flat(xrefs[0], 1, fi)
         else:
-            xr = flat(xrefs[0], 0)
+            xr = flat(xrefs[0], 0, fi)
             xi = None
         if g_ref is not None and not inverse:
             # fused in-gate: real signal(s) gated before the DFT
-            xr = xr * flat(g_ref, 0)
+            xr = xr * flat(g_ref, 0, fi)
             if packed:
-                xi = xi * flat(g_ref, 1)
+                xi = xi * flat(g_ref, 1, fi)
 
-        wr = wr_ref[...].reshape(f00, t)
-        wi = wi_ref[...].reshape(f00, t)
+        wf = fi if inverse else fo
+        wr = wr_ref[...].reshape(wf, t)
+        wi = wi_ref[...].reshape(wf, t)
         cr, ci = cr_ref[...], ci_ref[...]
         if inverse:
             zr = xr * wr + xi * wi         # conjugate twiddle
             zi = xi * wr - xr * wi
             yr = mm(cr, zr) - mm(ci, zi)   # cr/ci carry the 1/N scale
+            # (with half-band weighted tables this real-part sum over fi
+            # bands reconstructs all fo chunks of the real signal)
             if packed:
                 yi = mm(cr, zi) + mm(ci, zr)
                 if g_ref is not None:      # fused out-gate
-                    yr = yr * flat(g_ref, 0)
-                    yi = yi * flat(g_ref, 1)
-                outs[0][0, 0] = yr.reshape(f00, trt, 128).astype(outs[0].dtype)
-                outs[0][1, 0] = yi.reshape(f00, trt, 128).astype(outs[0].dtype)
+                    yr = yr * flat(g_ref, 0, fo)
+                    yi = yi * flat(g_ref, 1, fo)
+                outs[0][0, 0] = yr.reshape(fo, trt, 128).astype(outs[0].dtype)
+                outs[0][1, 0] = yi.reshape(fo, trt, 128).astype(outs[0].dtype)
             else:
                 if g_ref is not None:
-                    yr = yr * flat(g_ref, 0)
-                outs[0][0, 0] = yr.reshape(f00, trt, 128).astype(outs[0].dtype)
+                    yr = yr * flat(g_ref, 0, fo)
+                outs[0][0, 0] = yr.reshape(fo, trt, 128).astype(outs[0].dtype)
         else:
             if xi is None:
                 yr, yi = mm(cr, xr), mm(ci, xr)
@@ -1637,8 +1731,8 @@ def _butterfly_tiles(
                 yr = mm(cr, xr) - mm(ci, xi)
                 yi = mm(cr, xi) + mm(ci, xr)
             yr, yi = yr * wr - yi * wi, yr * wi + yi * wr
-            outs[0][0, 0] = yr.reshape(f00, trt, 128).astype(outs[0].dtype)
-            outs[1][0, 0] = yi.reshape(f00, trt, 128).astype(outs[1].dtype)
+            outs[0][0, 0] = yr.reshape(fo, trt, 128).astype(outs[0].dtype)
+            outs[1][0, 0] = yi.reshape(fo, trt, 128).astype(outs[1].dtype)
 
     outs = pl.pallas_call(
         kernel,
@@ -1648,8 +1742,8 @@ def _butterfly_tiles(
         out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=8 * bc * h * f00 * f00 * rt * 128,
-            bytes_accessed=bc * h * f00 * rt * 128 * 12,
+            flops=8 * bc * h * fi * fo * rt * 128,
+            bytes_accessed=bc * h * (fi + fo) * rt * 128 * 6,
             transcendentals=0,
         ),
     )(*inputs)
@@ -1686,8 +1780,21 @@ def _kf_cast(plan, kf_re, kf_im):
     return kf_re.astype(dt), kf_im.astype(dt)
 
 
+def _use_half(plan, x) -> bool:
+    """rfft band-halving applies on the >=64K paths when batch-pair packing
+    is unavailable (odd/unit batch) — packing and halving are alternative
+    exploitations of the same input realness, each worth ~2x on the outer
+    bands. The kernel spectrum must be computed at matching bands
+    (_kernel_spectrum(half=...))."""
+    if len(plan.factors) < 3:
+        return False
+    b = x.shape[0] if x.ndim == 3 else 1
+    return b % 2 == 1 or b < 2
+
+
 def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
-    """postgate * iFFT(FFT(pre*u) * k_f)[:L] with k_f given in Monarch layout."""
+    """postgate * iFFT(FFT(pre*u) * k_f)[:L] with k_f given in Monarch layout.
+    For long plans k_f has half (f//2+1) outer bands iff _use_half(plan, u)."""
     length = u.shape[-1]
     ug = u if pregate is None else u * pregate
 
@@ -1788,12 +1895,13 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
         x5 = shape_in(u)
         b, h = x5.shape[:2]
         packed = b % 2 == 0 and b >= 2
+        half = _use_half(plan, u)
         o5, _ = _long_tiles(
             x5,
             None,
             kf_re,
             kf_im,
-            _outer_tables(plan),
+            _outer_tables_half(plan) if half else _outer_tables(plan),
             _tables(plan, base=1),
             factors=plan.factors,
             compute_dtype=plan.compute_dtype_name,
@@ -1832,14 +1940,22 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
         x = shape_in(u)
         b, h = x.shape[:2]
         packed = b % 2 == 0 and b >= 2
+        half = _use_half(plan, u)
+        fb = _half_bands(f00) if half else f00
         w0r = plan.tw_re[0].reshape(f00, rt, 128)
         w0i = plan.tw_im[0].reshape(f00, rt, 128)
+        if half:
+            wts = jnp.asarray(_half_weights(f00))
+            bic0r = plan.idft_re[0][:, :fb] * wts
+            bic0i = plan.idft_im[0][:, :fb] * wts
+        else:
+            bic0r, bic0i = plan.idft_re[0], plan.idft_im[0]
         # pre/post gates fused into the outer butterfly stages — the analog
         # of the reference's butterfly_padded_gated_* entry points
         # (conv.py:3374-3391, 3659-3676).
         bre, bim = _butterfly_tiles(
             x, None,
-            plan.dft_re[0], plan.dft_im[0], w0r, w0i,
+            plan.dft_re[0][:fb], plan.dft_im[0][:fb], w0r[:fb], w0i[:fb],
             compute_dtype=plan.compute_dtype,
             io_dtype=io,
             packed=packed,
@@ -1848,10 +1964,10 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
         )
         bc = b // 2 if packed else b
         ore, oim = _long_tiles(
-            bre.reshape(bc, h * f00, f0, n1, n2),
-            bim.reshape(bc, h * f00, f0, n1, n2),
-            kf_re.reshape(h * f00, f0, n1, n2),
-            kf_im.reshape(h * f00, f0, n1, n2),
+            bre.reshape(bc, h * fb, f0, n1, n2),
+            bim.reshape(bc, h * fb, f0, n1, n2),
+            kf_re.reshape(h * fb, f0, n1, n2),
+            kf_im.reshape(h * fb, f0, n1, n2),
             _outer_tables(plan, base=1),
             _tables(plan, base=2),
             factors=plan.factors[1:],
@@ -1861,9 +1977,9 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
             complex_io=True,
         )
         o, _ = _butterfly_tiles(
-            ore.reshape(bc, h, f00, rt, 128),
-            oim.reshape(bc, h, f00, rt, 128),
-            plan.idft_re[0], plan.idft_im[0], w0r, w0i,
+            ore.reshape(bc, h, fb, rt, 128),
+            oim.reshape(bc, h, fb, rt, 128),
+            bic0r, bic0i, w0r[:fb], w0i[:fb],
             compute_dtype=plan.compute_dtype,
             io_dtype=io,
             packed=packed,
@@ -1883,7 +1999,7 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fft_conv_pallas_gated(plan_key, u, k, pregate, postgate):
     plan = _PLAN_REGISTRY[plan_key]
-    kf_re, kf_im = _kernel_spectrum(plan, k)
+    kf_re, kf_im = _kernel_spectrum(plan, k, half=_use_half(plan, u))
     return _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, u.dtype)
 
 
@@ -1896,15 +2012,17 @@ def _gated_fwd(plan_key, u, k, pregate, postgate):
     )
 
 
-def _finish_dk(plan, dk_re, dk_im, k):
+def _finish_dk(plan, dk_re, dk_im, k, half=False):
     """(H, *factor axes) accumulated spectrum cotangent -> dk (H, k_len).
 
     Inverse transform via the Monarch iDFT: fused Pallas kernels for long
     (>=3-factor) plans, f32 XLA einsums otherwise (XLA's FFT op is far too
-    slow on TPU; see monarch_xla.kernel_spectrum)."""
+    slow on TPU; see monarch_xla.kernel_spectrum). half=True: dk_re/dk_im
+    hold only the lower outer bands (dk is real, so they suffice)."""
     if len(plan.factors) >= 3 and dk_re.ndim == len(plan.factors) + 1 and not _interpret():
-        dk_t = _inverse_long_dft(plan, dk_re, dk_im)
+        dk_t = _inverse_long_dft(plan, dk_re, dk_im, half=half)
     else:
+        assert not half
         dk_t, _ = monarch_xla.monarch_idft(
             plan, dk_re, dk_im, compute_dtype=jnp.float32
         )
@@ -1915,7 +2033,7 @@ def _gated_bwd(plan_key, res, dout):
     plan = _PLAN_REGISTRY[plan_key]
     u, k, pregate, postgate = res
     length = u.shape[-1]
-    kf_re, kf_im = _kernel_spectrum(plan, k)
+    kf_re, kf_im = _kernel_spectrum(plan, k, half=_use_half(plan, u))
 
     g = dout if postgate is None else dout * postgate
     ug = u if pregate is None else u * pregate
@@ -1996,10 +2114,15 @@ def _gated_bwd(plan_key, res, dout):
     if len(plan.factors) >= 3 and u.ndim in (2, 3) and not _interpret():
         # Fused-Pallas forward DFTs of ug and g (flattened over B*H), the
         # same machinery as the kernel spectrum — the XLA einsum transforms
-        # dominate the whole backward at >=64K otherwise.
+        # dominate the whole backward at >=64K otherwise. dk is real, so
+        # only the lower half+1 outer bands are ever computed (rfft).
         bh_shape = u.shape[:-1]
-        ur, ui = _forward_long_dft(plan, ug.reshape(-1, length).astype(jnp.float32))
-        gr, gi = _forward_long_dft(plan, g.reshape(-1, length).astype(jnp.float32))
+        ur, ui = _forward_long_dft(
+            plan, ug.reshape(-1, length).astype(jnp.float32), half=True
+        )
+        gr, gi = _forward_long_dft(
+            plan, g.reshape(-1, length).astype(jnp.float32), half=True
+        )
         ur, ui = ur.astype(jnp.float32), ui.astype(jnp.float32)
         gr, gi = gr.astype(jnp.float32), gi.astype(jnp.float32)
         dk_re = gr * ur + gi * ui
@@ -2007,6 +2130,9 @@ def _gated_bwd(plan_key, res, dout):
         fshape = dk_re.shape[1:]
         dk_re = dk_re.reshape(bh_shape + fshape)
         dk_im = dk_im.reshape(bh_shape + fshape)
+        sum_axes = tuple(range(dk_re.ndim - 1 - len(plan.factors)))
+        dk = _finish_dk(plan, dk_re.sum(sum_axes), dk_im.sum(sum_axes), k, half=True)
+        return du, dk, dpre, dpost
     else:
 
         def _pad_full(x):
@@ -2052,7 +2178,7 @@ def fft_conv_pallas(plan, u, k, pregate=None, postgate=None):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fft_conv_pallas_ungated(plan_key, u, k):
     plan = _PLAN_REGISTRY[plan_key]
-    kf_re, kf_im = _kernel_spectrum(plan, k)
+    kf_re, kf_im = _kernel_spectrum(plan, k, half=_use_half(plan, u))
     return _conv_raw(plan, u, kf_re, kf_im, None, None, u.dtype)
 
 

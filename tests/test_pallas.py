@@ -170,3 +170,24 @@ def test_long_dft_roundtrip(rng, seqlen):
     # inverse recovers the signal (real part)
     back = mp._inverse_long_dft(plan, fr, fi)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+
+
+@pytest.mark.parametrize("seqlen,b", [(65536, 1), (65536, 3), (524288, 1)])
+@pytest.mark.parametrize("gated", [False, True])
+def test_half_band_path(rng, seqlen, b, gated):
+    """Odd/unit batch at >=64K takes the rfft half-band path (packing is
+    unavailable): forward, padded forward, and full backward."""
+    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    assert mp._use_half(plan, jnp.zeros((b, 2, seqlen)))
+    length = seqlen // 2
+    data = _data(rng, b, 2, length, gated=gated)
+    y = mp.fft_conv_pallas(plan, *data)
+    y_ref = fft_conv_reference(seqlen, *data)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    dout = jnp.asarray(rng.standard_normal(data[0].shape).astype(np.float32) * 0.02)
+    argnums = tuple(range(len(data)))
+    g = jax.grad(lambda *a: jnp.sum(mp.fft_conv_pallas(plan, *a) * dout), argnums=argnums)(*data)
+    g_ref = jax.grad(lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=argnums)(*data)
+    for a, b_ in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
