@@ -66,3 +66,27 @@ def frequency_sparse_fft_conv(
     k_f = jnp.where(keep, k_f, 0.0)
     y = jnp.fft.irfft(x_f * k_f, n=n, axis=-1)[..., :length]
     return y.astype(x_dtype)
+
+
+class PartialFFTConv:
+    """Class-style wrapper matching the reference's ``PartialFFTConv``
+    module API (sparse_conv.py:8-21): construct with ``n_partial``, call
+    with (x, k)."""
+
+    def __init__(self, n_partial: int, plan: FftPlan | None = None):
+        self.n_partial = n_partial
+        self.plan = plan
+
+    def __call__(self, x: jax.Array, k: jax.Array) -> jax.Array:
+        return partial_fft_conv(x, k, self.n_partial, plan=self.plan)
+
+
+class FrequencySparseFFTConv:
+    """Class-style wrapper matching the reference's ``FrequencySparseFFTConv``
+    module API (sparse_conv.py:23-38)."""
+
+    def __init__(self, n_partial: int):
+        self.n_partial = n_partial
+
+    def __call__(self, x: jax.Array, k: jax.Array) -> jax.Array:
+        return frequency_sparse_fft_conv(x, k, self.n_partial)
