@@ -79,6 +79,9 @@ def main():
             )
             for gated in (False, True):
                 name = ("gated " if gated else "") + ("padded conv" if padded else "conv")
+                # gates are passed as ARGUMENTS, never closed over: a jit
+                # closure would embed them as MLIR constants (hundreds of MB
+                # at large B*H*L)
                 if gated:
                     pre = jnp.asarray(
                         rng.standard_normal(u.shape).astype(np.float32) * 0.02
@@ -86,30 +89,34 @@ def main():
                     post = jnp.asarray(
                         rng.standard_normal(u.shape).astype(np.float32) * 0.02
                     ).astype(jnp.bfloat16)
-                    fwd = lambda u, k: conv(u, k, pre, post)
+                    fwd = lambda u, k, pre, post: conv(u, k, pre, post)
+                    fargs = (u, k, pre, post)
+                    argnums = (0, 1, 2, 3)
                 else:
                     fwd = lambda u, k: conv(u, k)
+                    fargs = (u, k)
+                    argnums = (0, 1)
 
                 row = {"seqlen": n, "func": name, "B": b, "H": h}
-                row["fwd_ms"] = benchmark_forward(fwd, u, k, repeats=args.repeats) * adjustment
+                row["fwd_ms"] = benchmark_forward(fwd, *fargs, repeats=args.repeats) * adjustment
                 if not args.fwd_only:
                     row["fwd_bwd_ms"] = (
-                        benchmark_backward(fwd, u, k, argnums=(0, 1), repeats=args.repeats)
+                        benchmark_backward(fwd, *fargs, argnums=argnums, repeats=args.repeats)
                         * adjustment
                     )
-                    row["mem_mb"] = benchmark_memory(fwd, u, k)
+                    row["mem_mb"] = benchmark_memory(fwd, *fargs)
                 if not args.no_ref:
                     ref = (
-                        (lambda u, k: fft_conv_reference(n, u, k, pre, post))
+                        (lambda u, k, pre, post: fft_conv_reference(n, u, k, pre, post))
                         if gated
                         else (lambda u, k: fft_conv_reference(n, u, k))
                     )
                     row["ref_fwd_ms"] = (
-                        benchmark_forward(ref, u, k, repeats=args.repeats) * adjustment
+                        benchmark_forward(ref, *fargs, repeats=args.repeats) * adjustment
                     )
                     row["speedup"] = row["ref_fwd_ms"] / row["fwd_ms"]
                     if not args.fwd_only:
-                        row["ref_mem_mb"] = benchmark_memory(ref, u, k)
+                        row["ref_mem_mb"] = benchmark_memory(ref, *fargs)
                 rows.append(row)
                 print(
                     "  ".join(

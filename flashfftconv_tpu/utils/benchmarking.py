@@ -24,16 +24,25 @@ def benchmark_forward(fn: Callable, *args, repeats: int = 10, warmup: int = 3,
                       desc: str = "", verbose: bool = False):
     """Mean wall-clock of fn(*args) in ms, pipelined (single sync after the
     loop — per-call block_until_ready pays a host<->device round trip per
-    iteration, ~25 ms through the axon relay, swamping short kernels)."""
+    iteration, ~25 ms through the axon relay, swamping short kernels). The
+    fixed per-loop sync cost is cancelled with a two-point fit: measuring
+    the loop at n and 2n iterations gives T = 2*t_2n - t_n."""
     f = jax.jit(fn) if not isinstance(fn, jax.stages.Wrapped) else fn
     for _ in range(warmup):
         out = f(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = f(*args)
-    jax.block_until_ready(out)
-    med = (time.perf_counter() - t0) * 1e3 / repeats
+
+    def loop(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = f(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    t_half = loop(max(repeats // 2, 1))
+    t_full = loop(repeats)
+    med = max(2 * t_full - t_half, t_full / 2) * 1e3
     if verbose:
         print(f"{desc}: {med:.3f} ms")
     return med
