@@ -112,8 +112,11 @@ def test_fftconv_long(rng, seqlen):
 @pytest.mark.slow
 @pytest.mark.parametrize("seqlen", HUGE_SIZES)
 def test_fftconv_huge(rng, seqlen):
+    """Full gradient parity at 512K-4M (the reference checks k.grad at 4M with
+    atol 2, /root/reference/tests/test_flashfftconv.py:105-107; our f32 tables
+    hold the much tighter _ktol ladder)."""
     _run_parity(
-        rng, seqlen, jnp.bfloat16, padded=True, gated=False, b=1, h=1, check_grads=False
+        rng, seqlen, jnp.bfloat16, padded=True, gated=False, b=1, h=1, check_grads=True
     )
 
 
