@@ -1,22 +1,25 @@
 """Multi-head self-attention mixer (the attention alternative the reference
 ships alongside its conv mixers: examples/hyena-dna/hyenadna_flashfftconv.py
-SelfAttention/MHA, and the vendored flash_attn/modules/mha.py).
+SelfAttention/MHA, and the vendored flash_attn/modules/mha.py backed by the
+flash-attention CUDA kernels in csrc/flash_attn/).
 
-On TPU, scaled-dot-product attention is a pair of MXU batched matmuls with a
-fused softmax — XLA produces a flash-attention-grade schedule for these
-shapes, so no custom kernel is needed. Registered as mixer "mha" so LM
-configs can swap conv <-> attention like the reference registry does.
+The compute path is ops.attention.flash_mha: the Pallas TPU flash-attention
+kernel (blocked online-softmax, O(L) memory, custom VJP) on TPU, and the XLA
+O(L^2) reference elsewhere. Registered as mixer "mha" so LM configs can swap
+conv <-> attention like the reference registry does.
+
+Incremental decoding: init_cache() + apply_step() run one-token KV-cached
+steps — the analog of the reference's flash_attn/utils/generation.py
+InferenceParams path.
 """
 
 from __future__ import annotations
-
-from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from flashfftconv_tpu.ops.fused import scaled_masked_softmax
+from flashfftconv_tpu.ops.attention import flash_mha
 
 
 class MHAOperator(nn.Module):
@@ -25,25 +28,78 @@ class MHAOperator(nn.Module):
     num_heads: int = 8
     causal: bool = True
     dropout: float = 0.0
+    impl: str = "auto"  # 'auto' | 'flash' | 'xla'
 
-    @nn.compact
+    def setup(self):
+        self.qkv_proj = nn.Dense(3 * self.d_model, name="qkv_proj")
+        self.out_proj = nn.Dense(self.d_model, name="out_proj")
+        self.drop = nn.Dropout(rate=self.dropout)
+
+    def _split_heads(self, x):
+        b, l, d = x.shape
+        return x.reshape(b, l, self.num_heads, d // self.num_heads).transpose(0, 2, 1, 3)
+
     def __call__(self, u, deterministic: bool = True):
         # u: (B, L, D)
         b, l, d = u.shape
         assert d % self.num_heads == 0
         hd = d // self.num_heads
-        qkv = nn.Dense(3 * d, dtype=u.dtype, name="qkv_proj")(u)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, l, self.num_heads, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, l, self.num_heads, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, l, self.num_heads, hd).transpose(0, 2, 1, 3)
+        qkv = self.qkv_proj(u)
+        q, k, v = map(self._split_heads, jnp.split(qkv, 3, axis=-1))
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        mask = None
-        if self.causal:
-            mask = jnp.tril(jnp.ones((l, l), bool))[None, None]
-        attn = scaled_masked_softmax(scores, mask=mask, scale=hd**-0.5)
-        attn = nn.Dropout(rate=self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+        if self.dropout > 0.0 and not deterministic:
+            # Attention-probability dropout needs the materialized matrix;
+            # only the XLA path supports it (training configs that want
+            # flash attention use residual dropout instead, matching the
+            # reference flash_attn kernels which also skip attn-dropout on
+            # the fast path).
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * (hd**-0.5)
+            if self.causal:
+                mask = jnp.tril(jnp.ones((l, l), bool))[None, None]
+                scores = jnp.where(mask, scores, -jnp.inf)
+            attn = jax.nn.softmax(scores, axis=-1)
+            attn = self.drop(attn, deterministic=False)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+        else:
+            out = flash_mha(q, k, v, causal=self.causal, impl=self.impl)
+
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
-        return nn.Dense(d, dtype=u.dtype, name="out_proj")(out)
+        return self.out_proj(out)
+
+    # ---- incremental decoding -------------------------------------------
+
+    def step(self, u_t, cache, pos):
+        """One KV-cached decode step. u_t: (B, 1, D); pos: scalar index of
+        this token. Returns (y_t, new_cache) using cached keys/values 0..pos."""
+        b, _, d = u_t.shape
+        hd = d // self.num_heads
+        qkv = self.qkv_proj(u_t)
+        q, k, v = map(self._split_heads, jnp.split(qkv, 3, axis=-1))
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0)
+        )
+        # Mask out cache slots beyond pos (future/unwritten).
+        valid = jnp.arange(ck.shape[2]) <= pos
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, ck.astype(q.dtype), preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        scores = jnp.where(valid[None, None, None, :], scores, -jnp.inf)
+        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, cv.astype(v.dtype))
+        out = out.transpose(0, 2, 1, 3).reshape(b, 1, d)
+        return self.out_proj(out), {"k": ck, "v": cv}
+
+    def init_cache(self, batch: int, max_length: int, dtype=jnp.float32):
+        """KV cache for one layer: (B, H, max_length, head_dim) keys/values."""
+        hd = self.d_model // self.num_heads
+        shape = (batch, self.num_heads, max_length, hd)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+    def apply_step(self, variables, u_t, cache, pos):
+        """Convenience: run one decode step on an unbound module."""
+        return self.apply(variables, u_t, cache, pos, method=MHAOperator.step)
