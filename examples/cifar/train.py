@@ -48,6 +48,7 @@ def get_args():
     p.add_argument("--ckpt-dir", default="./checkpoint/cifar")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--limit-batches", default=0, type=int, help="debug: cap batches/epoch")
+    p.add_argument("--log-file", default="", help="JSONL metrics log path")
     return p.parse_args()
 
 
@@ -128,49 +129,78 @@ def main():
     )
     state = create_train_state(params, tx)
 
+    from flashfftconv_tpu.utils.logging import MetricLogger
+    from flashfftconv_tpu.utils.train import auto_save_on_exception, latest_checkpoint
+
     ckpt_path = os.path.abspath(args.ckpt_dir)
     start_epoch, best_acc = 0, 0.0
-    if args.resume and os.path.isdir(ckpt_path):
-        state, extra = restore_checkpoint(ckpt_path, state, {"epoch": 0, "acc": 0.0})
-        start_epoch, best_acc = int(extra["epoch"]) + 1, float(extra["acc"])
-        print(f"resumed from epoch {start_epoch - 1}, best acc {best_acc:.2f}", flush=True)
+    if args.resume:
+        # Prefer the newer of the regular checkpoint and a crash-time
+        # auto-save (reference resume logic, training/src/train.py:69-92).
+        newest = latest_checkpoint(
+            os.path.dirname(ckpt_path), name=os.path.basename(ckpt_path)
+        )
+        if newest:
+            state, extra = restore_checkpoint(newest, state, {"epoch": 0, "acc": 0.0})
+            start_epoch, best_acc = int(extra["epoch"]) + 1, float(extra["acc"])
+            print(
+                f"resumed {newest} from epoch {start_epoch - 1}, "
+                f"best acc {best_acc:.2f}",
+                flush=True,
+            )
 
     train_step = jax.jit(make_train_step(model.apply, tx))
     eval_step = jax.jit(make_eval_step(model.apply))
     data_rng = np.random.default_rng(args.seed)
+    logger = MetricLogger(args.log_file) if args.log_file else None
 
-    for epoch in range(start_epoch, args.epochs):
-        t0 = time.time()
-        perm = data_rng.permutation(len(train_x))
-        tot_loss = tot_acc = 0.0
-        for i in range(steps_per_epoch):
-            idx = perm[i * args.batch_size : (i + 1) * args.batch_size]
-            batch = (jnp.asarray(train_x[idx]), jnp.asarray(train_y[idx]))
-            state, metrics = train_step(state, batch, rng)
-            tot_loss += float(metrics["loss"])
-            tot_acc += float(metrics["accuracy"])
+    guard = auto_save_on_exception(os.path.dirname(ckpt_path))
+    with guard:
+        for epoch in range(start_epoch, args.epochs):
+            t0 = time.time()
+            perm = data_rng.permutation(len(train_x))
+            tot_loss = tot_acc = 0.0
+            for i in range(steps_per_epoch):
+                idx = perm[i * args.batch_size : (i + 1) * args.batch_size]
+                batch = (jnp.asarray(train_x[idx]), jnp.asarray(train_y[idx]))
+                state, metrics = train_step(state, batch, rng)
+                tot_loss += float(metrics["loss"])
+                tot_acc += float(metrics["accuracy"])
+            guard.track(state, extra={"epoch": epoch, "acc": best_acc})
 
-        correct = total = 0
-        vloss = 0.0
-        for i in range(0, len(val_x) - args.batch_size + 1, args.batch_size):
-            batch = (
-                jnp.asarray(val_x[i : i + args.batch_size]),
-                jnp.asarray(val_y[i : i + args.batch_size]),
+            correct = total = 0
+            vloss = 0.0
+            for i in range(0, len(val_x) - args.batch_size + 1, args.batch_size):
+                batch = (
+                    jnp.asarray(val_x[i : i + args.batch_size]),
+                    jnp.asarray(val_y[i : i + args.batch_size]),
+                )
+                m = eval_step(state.params, batch)
+                correct += int(m["correct"])
+                total += int(m["total"])
+                vloss += float(m["loss"])
+            acc = 100.0 * correct / max(total, 1)
+            epoch_s = time.time() - t0
+            print(
+                f"epoch {epoch}: train loss {tot_loss/steps_per_epoch:.3f} "
+                f"acc {100*tot_acc/steps_per_epoch:.2f}% | val acc {acc:.2f}% | "
+                f"{epoch_s:.1f}s",
+                flush=True,
             )
-            m = eval_step(state.params, batch)
-            correct += int(m["correct"])
-            total += int(m["total"])
-            vloss += float(m["loss"])
-        acc = 100.0 * correct / max(total, 1)
-        print(
-            f"epoch {epoch}: train loss {tot_loss/steps_per_epoch:.3f} "
-            f"acc {100*tot_acc/steps_per_epoch:.2f}% | val acc {acc:.2f}% | "
-            f"{time.time()-t0:.1f}s",
-            flush=True,
-        )
-        if acc > best_acc:
-            best_acc = acc
-            save_checkpoint(ckpt_path, state, {"epoch": epoch, "acc": acc})
+            if logger:
+                logger.log(
+                    {
+                        "epoch": epoch,
+                        "train_loss": tot_loss / steps_per_epoch,
+                        "train_acc": 100 * tot_acc / steps_per_epoch,
+                        "val_acc": acc,
+                        "epoch_s": epoch_s,
+                    },
+                    step=epoch,
+                )
+            if acc > best_acc:
+                best_acc = acc
+                save_checkpoint(ckpt_path, state, {"epoch": epoch, "acc": acc})
     print(f"best val acc: {best_acc:.2f}%", flush=True)
 
 

@@ -103,6 +103,24 @@ def zero1_shardings(mesh: Mesh, opt_state, dp_axis: str = "dp"):
     return jax.tree_util.tree_map(shard_one, opt_state)
 
 
+def zero2_shardings(mesh: Mesh, tree, dp_axis: str = "dp"):
+    """ZeRO-2 analog (the reference's DDPStrategyZero2 / apex
+    DistributedFusedAdam, training/src/utils/ddp_zero2.py:68): shard the
+    *gradients* over the data-parallel axis in addition to the ZeRO-1
+    optimizer-state sharding. Constraining grads to this sharding inside the
+    train step makes GSPMD lower the DP gradient all-reduce to a
+    reduce-scatter, so each device holds only its 1/dp grad shard while the
+    sharded optimizer update runs, exactly the ZeRO-2 memory shape.
+
+    Returns a NamedSharding pytree matching `tree` (grads or params): each
+    tensor's largest dp-divisible dimension is sharded, scalars and
+    indivisible tensors stay replicated. Pass to
+    ``jax.lax.with_sharding_constraint(grads, zero2_shardings(mesh, grads))``
+    or via utils.train.make_train_step(grad_shardings=...).
+    """
+    return zero1_shardings(mesh, tree, dp_axis=dp_axis)
+
+
 def sequence_sharding(mesh: Mesh, ndim: int, seq_axis: int = -1, sp_axis: str = "tp"):
     """Megatron-style sequence parallelism for pointwise blocks: shard the
     sequence axis (the conv itself is never sequence-sharded, matching the

@@ -36,8 +36,18 @@ def cross_entropy_loss(logits, labels):
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
 
 
-def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation):
-    """Returns a jittable train step: (state, batch, rng) -> (state, metrics)."""
+def make_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    grad_shardings=None,
+):
+    """Returns a jittable train step: (state, batch, rng) -> (state, metrics).
+
+    grad_shardings: optional NamedSharding pytree (parallel.mesh
+    zero2_shardings) constraining the gradients — the ZeRO-2 analog: GSPMD
+    then reduce-scatters grads over dp instead of all-reducing, and the
+    sharded optimizer update consumes the local shard.
+    """
 
     def step(state: TrainState, batch, rng):
         x, y = batch
@@ -53,6 +63,8 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation):
             return loss, acc
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if grad_shardings is not None:
+            grads = jax.lax.with_sharding_constraint(grads, grad_shardings)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
@@ -95,3 +107,63 @@ def restore_checkpoint(path: str, state: TrainState, extra: dict | None = None):
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path, target)
     return restored["state"], restored.get("extra")
+
+
+AUTO_SAVE_NAME = "auto_save"
+
+
+class auto_save_on_exception:
+    """Fault-tolerance hook: save an emergency checkpoint when the training
+    loop dies (the reference's ModelCheckpointMine.on_exception writing
+    .pl_auto_save.ckpt, training/src/callbacks/model_checkpoint.py:8-17).
+
+    Usage::
+
+        guard = auto_save_on_exception(ckpt_dir)
+        with guard:
+            for batch in loader:
+                state, metrics = train_step(state, batch, rng)
+                guard.track(state, extra={"epoch": epoch})
+
+    On an exception (including KeyboardInterrupt) the last tracked state is
+    written to <ckpt_dir>/auto_save; the exception then propagates. Pair
+    with :func:`latest_checkpoint` on resume, which prefers the newer of the
+    regular and auto-save checkpoints (reference training/src/train.py:69-92).
+    """
+
+    def __init__(self, ckpt_dir: str):
+        import os
+
+        self.path = os.path.abspath(os.path.join(ckpt_dir, AUTO_SAVE_NAME))
+        self._state = None
+        self._extra = None
+
+    def track(self, state: TrainState, extra: dict | None = None):
+        self._state = state
+        self._extra = extra
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None and self._state is not None:
+            try:
+                save_checkpoint(self.path, jax.device_get(self._state), self._extra)
+                print(f"auto-saved checkpoint to {self.path}", flush=True)
+            except Exception as save_err:  # don't mask the original exception
+                print(f"auto-save failed: {save_err!r}", flush=True)
+        return False  # propagate
+
+
+def latest_checkpoint(ckpt_dir: str, name: str = "last") -> str | None:
+    """Path of the newest checkpoint in ckpt_dir, preferring the auto-save
+    when it is more recent than the regular one (reference resume logic,
+    training/src/train.py:69-92)."""
+    import os
+
+    candidates = []
+    for n in (name, AUTO_SAVE_NAME):
+        p = os.path.abspath(os.path.join(ckpt_dir, n))
+        if os.path.isdir(p):
+            candidates.append((os.path.getmtime(p), p))
+    return max(candidates)[1] if candidates else None

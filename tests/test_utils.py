@@ -177,3 +177,43 @@ def test_debugging_helpers():
     assert np.isfinite(float(f(jnp.asarray(2.0))))
     with pytest.raises(Exception):
         f(jnp.asarray(-1.0))  # nan from log of negative
+
+
+def test_auto_save_on_exception(tmp_path):
+    """Crash-time checkpoint hook (reference ModelCheckpointMine.on_exception,
+    training/src/callbacks/model_checkpoint.py:8-17) + resume preferring the
+    newer auto-save (training/src/train.py:69-92)."""
+    import optax
+
+    from flashfftconv_tpu.utils.train import (
+        auto_save_on_exception,
+        create_train_state,
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    params = {"w": jnp.ones((4, 4))}
+    tx = optax.sgd(1e-2)
+    state = create_train_state(params, tx)
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir + "/last", state, {"epoch": 0})
+
+    bumped = type(state)(
+        step=state.step + 7, params=state.params, opt_state=state.opt_state
+    )
+    with pytest.raises(RuntimeError):
+        with auto_save_on_exception(ckpt_dir) as guard:
+            guard.track(bumped, extra={"epoch": 3})
+            raise RuntimeError("boom")
+
+    newest = latest_checkpoint(ckpt_dir)
+    assert newest is not None and newest.endswith("auto_save")
+    restored, extra = restore_checkpoint(newest, state, {"epoch": 0})
+    assert int(restored.step) == 7
+    assert extra["epoch"] == 3
+
+    # No crash -> no auto-save rewrite; latest prefers whichever is newer.
+    with auto_save_on_exception(ckpt_dir) as guard:
+        guard.track(state)
