@@ -32,7 +32,8 @@ import optax
 
 def get_args():
     p = argparse.ArgumentParser()
-    p.add_argument("--mixer", default="hyena", choices=["hyena", "h3", "m2"])
+    p.add_argument("--config", default="", help="yaml config (registry _name_ keys)")
+    p.add_argument("--mixer", default="hyena", choices=["hyena", "h3", "m2", "mha"])
     p.add_argument("--d_model", default=256, type=int)
     p.add_argument("--n_layer", default=4, type=int)
     p.add_argument("--l_max", default=1024, type=int)
@@ -43,24 +44,71 @@ def get_args():
     p.add_argument("--warmup", default=20, type=int)
     p.add_argument("--clip", default=1.0, type=float)
     p.add_argument("--seed", default=0, type=int)
-    p.add_argument("--data", default="", help="text file; default: repo source")
+    p.add_argument(
+        "--data",
+        default="",
+        help="text/token file, or 'pystdlib' for the real Python-stdlib source "
+        "corpus (~15 MB, assembled locally); default: repo source",
+    )
     p.add_argument("--ckpt-dir", default="")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--log-every", default=10, type=int)
+    p.add_argument("--eval-every", default=0, type=int, help="val bits/byte cadence")
+    p.add_argument("--run-name", default="")
     p.add_argument("--impl", default="auto")
-    return p.parse_args()
+    args = p.parse_args()
+    if args.config:
+        import yaml
+
+        cfg = yaml.safe_load(open(args.config))
+        cli = {a.replace("-", "_") for a in sys.argv[1:] if a.startswith("--")}
+        for key, val in cfg.items():
+            attr = key.replace("-", "_")
+            if hasattr(args, attr) and f"--{key}" not in {a.split("=")[0] for a in sys.argv}:
+                setattr(args, attr, val)
+        args.model_cfg = cfg.get("model")
+    else:
+        args.model_cfg = None
+    return args
 
 
-def load_bytes(args) -> np.ndarray:
+def build_pystdlib_corpus(cache_path: str) -> np.ndarray:
+    """Assemble the Python 3.12 stdlib source into a byte corpus — a real
+    (non-synthetic) ~15 MB code-text dataset available offline. Deterministic
+    file order; test dirs excluded; cached as a flat uint8 file (served via
+    the mmap loader like the reference's token corpora)."""
+    import sysconfig
+
+    if os.path.exists(cache_path):
+        return np.fromfile(cache_path, np.uint8).astype(np.int32)
+    stdlib = sysconfig.get_paths()["stdlib"]
+    chunks = []
+    for path in sorted(glob.glob(os.path.join(stdlib, "**/*.py"), recursive=True)):
+        if "test" in path:
+            continue
+        with open(path, "rb") as f:
+            chunks.append(np.frombuffer(f.read(), np.uint8))
+    corpus = np.concatenate(chunks)
+    os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+    corpus.tofile(cache_path)
+    print(f"built pystdlib corpus: {len(corpus):,} bytes -> {cache_path}", flush=True)
+    return corpus.astype(np.int32)
+
+
+def load_bytes(args) -> tuple[np.ndarray, str]:
+    """Returns (tokens, backing file path or '')."""
+    if args.data == "pystdlib":
+        cache = os.path.join(os.path.dirname(__file__), "data", "pystdlib.bin")
+        return build_pystdlib_corpus(cache), cache
     if args.data:
         with open(args.data, "rb") as f:
-            return np.frombuffer(f.read(), np.uint8).astype(np.int32)
+            return np.frombuffer(f.read(), np.uint8).astype(np.int32), args.data
     root = os.path.join(os.path.dirname(__file__), "..", "..")
     chunks = []
     for path in sorted(glob.glob(os.path.join(root, "flashfftconv_tpu/**/*.py"), recursive=True)):
         with open(path, "rb") as f:
             chunks.append(np.frombuffer(f.read(), np.uint8))
-    return np.concatenate(chunks).astype(np.int32)
+    return np.concatenate(chunks).astype(np.int32), ""
 
 
 def main():
@@ -77,19 +125,39 @@ def main():
         save_checkpoint,
     )
 
-    tokens = load_bytes(args)
-    print(f"corpus: {len(tokens):,} bytes", flush=True)
+    tokens, data_path = load_bytes(args)
+    # Hold out the final 2% as validation (mid-epoch-stable split).
+    n_val = max(len(tokens) // 50, args.batch_size * (args.l_max + 1)) if args.eval_every else 0
+    val_tokens = tokens[len(tokens) - n_val :] if n_val else None
+    tokens = tokens[: len(tokens) - n_val]
+    print(f"corpus: {len(tokens):,} train bytes, {n_val:,} val bytes", flush=True)
+    if n_val and data_path:
+        # The native loader mmaps a file; give it one holding only the
+        # train split so val bytes never leak into training.
+        train_path = data_path + ".train"
+        if not os.path.exists(train_path) or os.path.getsize(train_path) != len(tokens):
+            tokens.astype(np.uint8).tofile(train_path)
+        data_path = train_path
 
-    model = ConvLMHeadModel(
-        d_model=args.d_model,
-        n_layer=args.n_layer,
-        d_inner=4 * args.d_model,
-        vocab_size=256,
-        l_max=args.l_max,
-        mixer=args.mixer,
-        mixer_kwargs={"impl": args.impl},
-        dtype=jnp.bfloat16,
-    )
+    if args.model_cfg:
+        # Registry config path (the reference's _name_-keyed Hydra registry,
+        # examples/hyena/src/utils/registry.py).
+        from flashfftconv_tpu.utils.registry import instantiate
+
+        model = instantiate(
+            "model", args.model_cfg, l_max=args.l_max, dtype=jnp.bfloat16
+        )
+    else:
+        model = ConvLMHeadModel(
+            d_model=args.d_model,
+            n_layer=args.n_layer,
+            d_inner=4 * args.d_model,
+            vocab_size=256,
+            l_max=args.l_max,
+            mixer=args.mixer,
+            mixer_kwargs={"impl": args.impl},
+            dtype=jnp.bfloat16,
+        )
     rng = jax.random.PRNGKey(args.seed)
     sample_ids = jnp.zeros((2, args.l_max), jnp.int32)
     params = model.init(rng, sample_ids)["params"]
@@ -135,16 +203,34 @@ def main():
         )
 
     jit_step = jax.jit(train_step)
-    logger = MetricLogger(logdir="./logs", run_name=f"lm-{args.mixer}")
+    logger = MetricLogger(
+        logdir="./logs", run_name=args.run_name or f"lm-{args.mixer}"
+    )
     speed = SpeedMonitor()
+
+    @jax.jit
+    def eval_loss(params, x, y):
+        logits = model.apply({"params": params}, x, deterministic=True)
+        return cross_entropy(logits, y)
+
+    def run_eval(params):
+        """Mean val loss over contiguous windows; bits/byte = loss / ln 2."""
+        losses = []
+        span = args.batch_size * args.l_max
+        for off in range(0, len(val_tokens) - span - 1, span):
+            xy = val_tokens[off : off + span + 1]
+            x = jnp.asarray(xy[:-1].reshape(args.batch_size, args.l_max))
+            y = jnp.asarray(xy[1:].reshape(args.batch_size, args.l_max))
+            losses.append(float(eval_loss(params, x, y)))
+        return float(np.mean(losses)) if losses else float("nan")
 
     # Prefer the native threaded loader (csrc/dataloader.cpp) — batch
     # assembly overlaps with device steps; fall back to pure Python.
     from flashfftconv_tpu.utils import native_loader
 
-    if args.data and native_loader.available():
+    if data_path and native_loader.available():
         dl = native_loader.NativeLMLoader(
-            args.data, args.batch_size, args.l_max, seed=args.seed
+            data_path, args.batch_size, args.l_max, seed=args.seed
         )
         batches = iter(dl)
         print("using native C++ dataloader", flush=True)
@@ -152,13 +238,17 @@ def main():
         data_rng = np.random.default_rng(args.seed)
         batches = lm_batches(tokens, args.batch_size, args.l_max, data_rng)
 
-    with mesh:
+    from flashfftconv_tpu.utils.train import auto_save_on_exception
+
+    guard = auto_save_on_exception(args.ckpt_dir or "./checkpoint/lm")
+    with mesh, guard:
         for step in range(start_step, args.steps):
             x_np, y_np = next(batches)
             x = jax.device_put(jnp.asarray(x_np), x_sharding)
             y = jax.device_put(jnp.asarray(y_np), x_sharding)
             state, loss = jit_step(state, x, y, rng)
             if step % args.log_every == 0 or step == args.steps - 1:
+                guard.track(state, extra={"step": step})
                 m = speed.step(args.batch_size * args.l_max)
                 m.update(loss=float(loss), ppl=float(jnp.exp(loss)), step=step)
                 logger.log(m, step=step)
@@ -166,6 +256,16 @@ def main():
                 print(
                     f"step {step}: loss {float(loss):.3f} ppl {float(jnp.exp(loss)):.1f}"
                     + (f" | {tok_s/1e3:.1f}K tok/s" if tok_s else ""),
+                    flush=True,
+                )
+            if args.eval_every and (
+                step % args.eval_every == args.eval_every - 1 or step == args.steps - 1
+            ):
+                vloss = run_eval(state.params)
+                bpb = vloss / float(np.log(2))
+                logger.log({"val_loss": vloss, "val_bits_per_byte": bpb}, step=step)
+                print(
+                    f"step {step}: val loss {vloss:.3f}, {bpb:.3f} bits/byte",
                     flush=True,
                 )
 
