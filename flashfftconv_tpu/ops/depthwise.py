@@ -28,9 +28,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Largest L whose full (L, D_TILE) channel strip fits VMEM in the Pallas
-# kernel (bf16 in + f32 accumulator + per-tap temps, double-buffered).
-_PALLAS_MAX_L = 4096
+# Largest L handled as a single VMEM strip; longer sequences are processed
+# in _L_TILE chunks with an XLA-precomputed (k-1)-row halo per chunk edge
+# (one extra read of 2*(k-1)*D elements per tile — negligible vs the strip).
+_L_TILE = 4096
 _D_TILE = 128
 
 
@@ -90,82 +91,163 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
     """Fused Pallas depthwise conv: one bandwidth-bound pass.
 
     The TPU analog of the reference's conv1d kernels
-    (csrc/flashfftconv/conv1d/conv1d_bhl.cu:44-132): each grid step loads a
-    full-length (L, D_TILE) channel strip into VMEM and does the K-tap
+    (csrc/flashfftconv/conv1d/conv1d_bhl.cu:44-132): each grid step loads an
+    (L_tile, D_TILE) channel strip into VMEM and does the K-tap
     multiply-accumulate on the VPU in f32 (weights are scalars per tap), so
-    HBM traffic is exactly one read + one write of x.
+    HBM traffic is one read + one write of x. For L > _L_TILE the sequence is
+    split into tiles; the (k-1)-row cross-tile halos are gathered by XLA into
+    a tiny side array so each strip is still read exactly once.
+
+    Tiled path requires l % _L_TILE == 0 and l == l_out (same-length output,
+    i.e. 2*padding == k-1 — the model use case); the wrapper falls back to
+    XLA otherwise.
     """
     k = w_kd.shape[0]
-    half = k - 1 - padding  # taps beyond the end
+    h = k - 1  # halo rows actually needed on each side
+    # Halo buffers are padded to Mosaic-friendly tile widths: the halo sits
+    # on the sublane axis for BLH (16 rows total => valid bf16 tile) and on
+    # the lane axis for BHL (128 lanes total => one full lane tile). hp is
+    # the per-side allotment; left halo occupies [hp-h, hp), right [hp, hp+h).
+    hp = 64 if is_bhl else 8
+    l = x.shape[-1] if is_bhl else x.shape[-2]
+    l_out = l + 2 * padding - k + 1
+    lt = l if l <= _L_TILE else _L_TILE
+    nt = l // lt
+    axis = x.ndim - 1 if is_bhl else x.ndim - 2
+
+    halos = None
+    if nt > 1:
+        # halos[:, t] = padded_x rows [t*lt - hp, t*lt) ++ [(t+1)*lt, (t+1)*lt + hp)
+        # — the hp rows left and right of tile t, zero-filled at the ends.
+        pad_cfg = [(0, 0)] * x.ndim
+        pad_cfg[axis] = (hp, hp)
+        xp = jnp.pad(x, pad_cfg)
+        pieces = []
+        for t in range(nt):
+            sl_l = [slice(None)] * x.ndim
+            sl_l[axis] = slice(t * lt, t * lt + hp)
+            sl_r = [slice(None)] * x.ndim
+            sl_r[axis] = slice(hp + (t + 1) * lt, hp + (t + 1) * lt + hp)
+            pieces.append(jnp.concatenate([xp[tuple(sl_l)], xp[tuple(sl_r)]], axis=axis))
+        halos = jnp.stack(pieces, axis=1)  # (B, nt, 2hp, D) / (B, nt, D, 2hp)
 
     if is_bhl:
-        b, d, l = x.shape
-        grid = (b, d // _D_TILE)
+        b, d, _ = x.shape
+        grid = (b, nt, d // _D_TILE)
         x_spec = pl.BlockSpec(
-            (1, _D_TILE, l), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (1, _D_TILE, lt), lambda i, t, j: (i, j, t), memory_space=pltpu.VMEM
         )
         w_spec = pl.BlockSpec(
-            (k, _D_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            (k, _D_TILE), lambda i, t, j: (0, j), memory_space=pltpu.VMEM
         )
-        b_spec = pl.BlockSpec((1, _D_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM)
-        l_out = l + 2 * padding - k + 1
+        b_spec = pl.BlockSpec(
+            (1, _D_TILE), lambda i, t, j: (0, j), memory_space=pltpu.VMEM
+        )
+        halo_spec = pl.BlockSpec(
+            (1, 1, _D_TILE, 2 * hp), lambda i, t, j: (i, t, j, 0),
+            memory_space=pltpu.VMEM,
+        )
         out_spec = pl.BlockSpec(
-            (1, _D_TILE, l_out), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (1, _D_TILE, lt if nt > 1 else l_out),
+            lambda i, t, j: (i, j, t),
+            memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct((b, d, l_out), out_dtype)
     else:
-        b, l, d = x.shape
-        grid = (b, d // _D_TILE)
+        b, _, d = x.shape
+        grid = (b, nt, d // _D_TILE)
         x_spec = pl.BlockSpec(
-            (1, l, _D_TILE), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+            (1, lt, _D_TILE), lambda i, t, j: (i, t, j), memory_space=pltpu.VMEM
         )
         w_spec = pl.BlockSpec(
-            (k, _D_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            (k, _D_TILE), lambda i, t, j: (0, j), memory_space=pltpu.VMEM
         )
-        b_spec = pl.BlockSpec((1, _D_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM)
-        l_out = l + 2 * padding - k + 1
+        b_spec = pl.BlockSpec(
+            (1, _D_TILE), lambda i, t, j: (0, j), memory_space=pltpu.VMEM
+        )
+        halo_spec = pl.BlockSpec(
+            (1, 1, 2 * hp, _D_TILE), lambda i, t, j: (i, t, 0, j),
+            memory_space=pltpu.VMEM,
+        )
         out_spec = pl.BlockSpec(
-            (1, l_out, _D_TILE), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+            (1, lt if nt > 1 else l_out, _D_TILE),
+            lambda i, t, j: (i, t, j),
+            memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct((b, l_out, d), out_dtype)
 
     has_bias = bias is not None
-
-    l_in = x.shape[-1] if is_bhl else x.shape[-2]
+    tile_out = lt if nt > 1 else l_out
 
     def kernel(*refs):
         # Per-tap static slice arithmetic — no padded copy, so the working
         # set is just the bf16 input strip + one f32 accumulator.
-        #   out[l] = sum_tap w[tap] * x[l + tap - padding],
-        #   valid where 0 <= l + tap - padding < L.
-        if has_bias:
-            x_ref, w_ref, bias_ref, o_ref = refs
-        else:
-            x_ref, w_ref, o_ref = refs
+        # Within tile t: out[l] = sum_tap w[tap] * x_tile[l + s], s = tap -
+        # padding; rows outside [0, lt) come from the halo ref (tiled path)
+        # or are zero (sequence edge).
+        refs = list(refs)
+        x_ref = refs.pop(0)
+        halo_ref = refs.pop(0) if nt > 1 else None
+        w_ref = refs.pop(0)
+        bias_ref = refs.pop(0) if has_bias else None
+        o_ref = refs.pop(0)
         acc = jnp.zeros(
-            (_D_TILE, l_out) if is_bhl else (l_out, _D_TILE), jnp.float32
+            (_D_TILE, tile_out) if is_bhl else (tile_out, _D_TILE), jnp.float32
         )
         for tap in range(k):
             s = tap - padding
             lo = max(0, -s)
-            hi = min(l_out, l_in - s)
-            if lo >= hi:
-                continue
-            if is_bhl:
-                seg = x_ref[0, :, lo + s : hi + s].astype(jnp.float32)
-                term = seg * w_ref[tap].astype(jnp.float32)[:, None]
-                acc = acc + jnp.pad(term, ((0, 0), (lo, l_out - hi)))
-            else:
-                seg = x_ref[0, lo + s : hi + s, :].astype(jnp.float32)
-                term = seg * w_ref[tap].astype(jnp.float32)[None, :]
-                acc = acc + jnp.pad(term, ((lo, l_out - hi), (0, 0)))
+            hi = min(tile_out, lt - s)
+            if lo < hi:
+                if is_bhl:
+                    seg = x_ref[0, :, lo + s : hi + s].astype(jnp.float32)
+                    term = seg * w_ref[tap].astype(jnp.float32)[:, None]
+                    acc = acc + jnp.pad(term, ((0, 0), (lo, tile_out - hi)))
+                else:
+                    seg = x_ref[0, lo + s : hi + s, :].astype(jnp.float32)
+                    term = seg * w_ref[tap].astype(jnp.float32)[None, :]
+                    acc = acc + jnp.pad(term, ((lo, tile_out - hi), (0, 0)))
+            if halo_ref is not None:
+                wf = w_ref[tap].astype(jnp.float32)
+                if s < 0 and lo > 0:
+                    # out rows [0, -s) read halo rows [hp+s, hp) (left side).
+                    if is_bhl:
+                        seg = halo_ref[0, 0, :, hp + s : hp].astype(jnp.float32)
+                        acc = acc + jnp.pad(
+                            seg * wf[:, None], ((0, 0), (0, tile_out + s))
+                        )
+                    else:
+                        seg = halo_ref[0, 0, hp + s : hp, :].astype(jnp.float32)
+                        acc = acc + jnp.pad(
+                            seg * wf[None, :], ((0, tile_out + s), (0, 0))
+                        )
+                if s > 0 and hi < tile_out:
+                    # out rows [lt-s, lt) read halo rows [hp, hp+s) (right side).
+                    if is_bhl:
+                        seg = halo_ref[0, 0, :, hp : hp + s].astype(jnp.float32)
+                        acc = acc + jnp.pad(
+                            seg * wf[:, None], ((0, 0), (tile_out - s, 0))
+                        )
+                    else:
+                        seg = halo_ref[0, 0, hp : hp + s, :].astype(jnp.float32)
+                        acc = acc + jnp.pad(
+                            seg * wf[None, :], ((tile_out - s, 0), (0, 0))
+                        )
         if has_bias:
             bias_v = bias_ref[0].astype(jnp.float32)
             acc = acc + (bias_v[:, None] if is_bhl else bias_v[None, :])
         o_ref[0] = acc.astype(o_ref.dtype)
 
-    in_specs = [x_spec, w_spec] + ([b_spec] if has_bias else [])
-    inputs = [x, w_kd] + ([bias.reshape(1, -1)] if has_bias else [])
+    in_specs = [x_spec]
+    inputs = [x]
+    if nt > 1:
+        in_specs.append(halo_spec)
+        inputs.append(halos)
+    in_specs.append(w_spec)
+    inputs.append(w_kd)
+    if has_bias:
+        in_specs.append(b_spec)
+        inputs.append(bias.reshape(1, -1))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -177,11 +259,14 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
 
 
 def _pallas_ok(x, d, l, padding, k) -> bool:
-    return (
-        d % _D_TILE == 0
-        and l <= _PALLAS_MAX_L
-        and padding <= k - 1  # output never needs left context beyond pad
-    )
+    if d % _D_TILE != 0 or padding > k - 1:
+        return False
+    if l <= _L_TILE:
+        return True
+    # Tiled path: uniform tiles, same-length output (the "same" conv the
+    # models use), and a kernel that fits the per-side halo allotment;
+    # other shapes take the XLA path.
+    return l % _L_TILE == 0 and 2 * padding == k - 1 and k - 1 <= 8
 
 
 def depthwise_conv1d(

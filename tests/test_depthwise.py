@@ -172,3 +172,52 @@ def test_pallas_path_bf16(rng):
     np.testing.assert_allclose(
         np.asarray(y, np.float32), np.asarray(y_ref, np.float32), atol=5e-2
     )
+
+
+@pytest.mark.parametrize("is_bhl", [True, False])
+@pytest.mark.parametrize("k", [3, 5, 7, 9])
+def test_pallas_tiled_long_l(rng, monkeypatch, is_bhl, k):
+    """L > _L_TILE takes the tiled path with cross-tile halos (here _L_TILE
+    is shrunk so the multi-tile logic runs quickly in interpret mode)."""
+    from flashfftconv_tpu.ops import depthwise as dw
+
+    monkeypatch.setattr(dw, "_L_TILE", 64)
+    b, d, l, pad = 2, 128, 256, (k - 1) // 2
+    w_dk = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
+    if is_bhl:
+        x = jnp.asarray(rng.standard_normal((b, d, l)).astype(np.float32))
+        assert dw._pallas_ok(x, d, l, pad, k)
+        y = depthwise_conv1d(x, w_dk, bias, padding=pad, is_bhl=True)
+        y_ref = _ref_conv1d(x, w_dk, bias, pad)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+    else:
+        x = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+        y = depthwise_conv1d(x, w_dk.T, bias, padding=pad, is_bhl=False)
+        y_ref = _ref_conv1d(jnp.swapaxes(x, 1, 2), w_dk, bias, pad)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(jnp.swapaxes(y_ref, 1, 2)), atol=1e-4
+        )
+
+
+def test_pallas_tiled_grads(rng, monkeypatch):
+    from flashfftconv_tpu.ops import depthwise as dw
+
+    monkeypatch.setattr(dw, "_L_TILE", 64)
+    b, d, l, k, pad = 1, 128, 192, 5, 2
+    x = jnp.asarray(rng.standard_normal((b, d, l)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
+
+    def loss_mine(x, w, bias):
+        return jnp.sum(depthwise_conv1d(x, w, bias, padding=pad, is_bhl=True) ** 2)
+
+    def loss_ref(x, w, bias):
+        return jnp.sum(_ref_conv1d(x, w, bias, pad) ** 2)
+
+    g = jax.grad(loss_mine, argnums=(0, 1, 2))(x, w, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, bias)
+    for name, a, b_ in zip(["dx", "dw", "dbias"], g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-3, err_msg=name
+        )
