@@ -79,7 +79,7 @@ def main():
     sizes = [
         int(s)
         for s in os.environ.get(
-            "BENCH_SIZES", "1024,4096,32768,262144,1048576"
+            "BENCH_SIZES", "256,1024,4096,32768,262144,1048576"
         ).split(",")
     ]
     iters = int(os.environ.get("BENCH_ITERS", "0")) or None

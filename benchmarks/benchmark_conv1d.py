@@ -1,9 +1,13 @@
 """Short depthwise conv1d benchmark, mirroring the reference grid
 (/root/reference/benchmarks/benchmark_conv1d.py and README.md:242-259:
 BLH, K=5, B=16, L in {1K..8K}, D in {768..8192}) against the XLA
-lax.conv_general_dilated baseline (the torch nn.Conv1d analog).
+lax.conv_general_dilated baseline (the torch nn.Conv1d analog on TPU).
 
-Usage: python benchmarks/benchmark_conv1d.py [--k 5] [--bhl]
+Reports fwd / fwd+bwd wall-clock, speedup, and achieved HBM bandwidth
+(GB/s; read x + write y, bf16) so the distance to the chip's memory
+speed-of-light is visible. Writes benchmarks/results_conv1d_v5e.csv.
+
+Usage: python benchmarks/benchmark_conv1d.py [--k 5] [--b 16] [--no-bwd]
 """
 
 from __future__ import annotations
@@ -21,18 +25,15 @@ import numpy as np
 from flashfftconv_tpu import depthwise_conv1d
 from flashfftconv_tpu.utils.benchmarking import benchmark_backward, benchmark_forward
 
+OUT_CSV = os.path.join(os.path.dirname(__file__), "results_conv1d_v5e.csv")
+
 
 def lax_ref_blh(x, w_kd, bias, padding):
-    d = x.shape[-1]
-    out = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32),
-        w_kd.T[:, None, :].astype(jnp.float32),
-        window_strides=(1,),
-        padding=[(padding, padding)],
-        feature_group_count=d,
-        dimension_numbers=("NHC", "OIH", "NHC"),
-    )
-    return (out + bias.astype(jnp.float32)).astype(x.dtype)
+    """Baseline: the library's own XLA grouped-conv fallback (the torch
+    nn.Conv1d analog on TPU), differentiable with matching dtypes."""
+    from flashfftconv_tpu.ops.depthwise import _xla_depthwise
+
+    return _xla_depthwise(x, w_kd, bias, padding, is_bhl=False, out_dtype=x.dtype)
 
 
 def main():
@@ -41,11 +42,14 @@ def main():
     p.add_argument("--b", type=int, default=16)
     p.add_argument("--ls", default="1024,2048,4096,8192")
     p.add_argument("--ds", default="768,1024,2048,8192")
-    p.add_argument("--repeats", type=int, default=10)
+    p.add_argument("--repeats", type=int, default=20)
+    p.add_argument("--no-bwd", action="store_true")
     args = p.parse_args()
     rng = np.random.default_rng(0)
     pad = (args.k - 1) // 2
 
+    rows = ["B,L,D,K,flash_fwd_ms,lax_fwd_ms,fwd_speedup,flash_gbps,"
+            "flash_fwdbwd_ms,lax_fwdbwd_ms,fwdbwd_speedup"]
     for l in map(int, args.ls.split(",")):
         for d in map(int, args.ds.split(",")):
             x = jnp.asarray(
@@ -53,18 +57,36 @@ def main():
             ).astype(jnp.bfloat16)
             w = jnp.asarray(rng.standard_normal((args.k, d)).astype(np.float32))
             bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
-            t_mine = benchmark_forward(
-                lambda x: depthwise_conv1d(x, w, bias, padding=pad, is_bhl=False),
-                x, repeats=args.repeats,
+
+            flash = lambda x, w, bias: depthwise_conv1d(x, w, bias, padding=pad, is_bhl=False)
+            ref = lambda x, w, bias: lax_ref_blh(x, w, bias, pad)
+            t_mine = benchmark_forward(flash, x, w, bias, repeats=args.repeats)
+            t_ref = benchmark_forward(ref, x, w, bias, repeats=args.repeats)
+            # traffic: read x + write y, bf16 (weights/bias negligible)
+            gb = 2 * args.b * l * d * 2 / 1e9
+            gbps = gb / (t_mine * 1e-3)
+            if args.no_bwd:
+                tb_mine = tb_ref = float("nan")
+            else:
+                # Training-shaped backward: grads w.r.t. x, weights AND bias
+                # (the reference's conv1d_backward emits all three).
+                tb_mine = benchmark_backward(
+                    flash, x, w, bias, argnums=(0, 1, 2),
+                    repeats=max(args.repeats // 2, 5),
+                )
+                tb_ref = benchmark_backward(
+                    ref, x, w, bias, argnums=(0, 1, 2),
+                    repeats=max(args.repeats // 2, 5),
+                )
+            rows.append(
+                f"{args.b},{l},{d},{args.k},{t_mine:.4f},{t_ref:.4f},"
+                f"{t_ref/t_mine:.2f},{gbps:.0f},{tb_mine:.4f},{tb_ref:.4f},"
+                f"{tb_ref/tb_mine:.2f}"
             )
-            t_ref = benchmark_forward(
-                lambda x: lax_ref_blh(x, w, bias, pad), x, repeats=args.repeats
-            )
-            print(
-                f"L={l} D={d}: flash {t_mine:.3f} ms | lax.conv {t_ref:.3f} ms "
-                f"| {t_ref / t_mine:.2f}x",
-                flush=True,
-            )
+            print(rows[-1], flush=True)
+    with open(OUT_CSV, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    print(f"wrote {OUT_CSV}", flush=True)
 
 
 if __name__ == "__main__":

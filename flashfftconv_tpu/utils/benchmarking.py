@@ -21,12 +21,16 @@ import numpy as np
 
 
 def benchmark_forward(fn: Callable, *args, repeats: int = 10, warmup: int = 3,
-                      desc: str = "", verbose: bool = False):
-    """Mean wall-clock of fn(*args) in ms, pipelined (single sync after the
+                      desc: str = "", verbose: bool = False, samples: int = 3):
+    """Wall-clock of fn(*args) in ms, pipelined (single sync after the
     loop — per-call block_until_ready pays a host<->device round trip per
     iteration, ~25 ms through the axon relay, swamping short kernels). The
     fixed per-loop sync cost is cancelled with a two-point fit: measuring
-    the loop at n and 2n iterations gives T = 2*t_2n - t_n."""
+    the loop at n and 2n iterations gives T = 2*t_2n - t_n. The iteration
+    count auto-scales until the loop body dominates the sync cost, and the
+    fit is repeated `samples` times with the median taken — a single noisy
+    fit can otherwise produce impossible orderings (fwd > fwd+bwd) at small
+    sizes."""
     f = jax.jit(fn) if not isinstance(fn, jax.stages.Wrapped) else fn
     for _ in range(warmup):
         out = f(*args)
@@ -40,9 +44,17 @@ def benchmark_forward(fn: Callable, *args, repeats: int = 10, warmup: int = 3,
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / n
 
-    t_half = loop(max(repeats // 2, 1))
-    t_full = loop(repeats)
-    med = max(2 * t_full - t_half, t_full / 2) * 1e3
+    # Auto-scale: enough iterations that the loop runs >= ~0.5 s (or the
+    # requested repeats, whichever is larger), so the ~25 ms sync is noise.
+    est = loop(max(repeats // 2, 1))
+    iters = max(repeats, min(300, int(0.5 / max(est, 1e-5))))
+
+    fits = []
+    for _ in range(max(samples, 1)):
+        t_half = loop(max(iters // 2, 1))
+        t_full = loop(iters)
+        fits.append(max(2 * t_full - t_half, t_full / 2))
+    med = float(np.median(fits)) * 1e3
     if verbose:
         print(f"{desc}: {med:.3f} ms")
     return med

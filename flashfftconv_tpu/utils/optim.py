@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -56,3 +57,21 @@ def make_optimizer(
     return optax.multi_transform(
         {"default": default_tx, "special": special_tx}, labels
     )
+
+
+def ema_init(params):
+    """EMA of parameters (the reference harness's EMACallback,
+    examples/hyena/src/callbacks/ema.py:16): shadow copy in f32."""
+    return jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), params)
+
+
+def ema_update(ema, params, decay: float = 0.999):
+    """One EMA step: shadow <- decay*shadow + (1-decay)*params. Jittable."""
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p.astype(jnp.float32), ema, params
+    )
+
+
+def ema_swap(ema, params):
+    """Cast the shadow params back to the live params' dtypes (for eval)."""
+    return jax.tree_util.tree_map(lambda e, p: e.astype(p.dtype), ema, params)

@@ -45,6 +45,11 @@ _REGISTRIES: dict[str, dict[str, str | Callable]] = {
         "cosine": "optax.cosine_decay_schedule",
         "constant": "optax.constant_schedule",
         "warmup-cosine": "optax.warmup_cosine_decay_schedule",
+        "linear": "optax.linear_schedule",
+        "exponential": "optax.exponential_decay",
+        "warmup-exponential": "optax.warmup_exponential_decay_schedule",
+        "sgdr": "optax.sgdr_schedule",
+        "piecewise": "optax.piecewise_constant_schedule",
     },
 }
 

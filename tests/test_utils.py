@@ -217,3 +217,27 @@ def test_auto_save_on_exception(tmp_path):
     # No crash -> no auto-save rewrite; latest prefers whichever is newer.
     with auto_save_on_exception(ckpt_dir) as guard:
         guard.track(state)
+
+
+def test_ema(rng):
+    """Parameter EMA (the reference's EMACallback, ema.py:16)."""
+    from flashfftconv_tpu.utils.optim import ema_init, ema_swap, ema_update
+
+    p0 = {"w": jnp.ones((4,), jnp.bfloat16)}
+    ema = ema_init(p0)
+    assert ema["w"].dtype == jnp.float32
+    ema = ema_update(ema, {"w": jnp.zeros((4,), jnp.bfloat16)}, decay=0.5)
+    np.testing.assert_allclose(np.asarray(ema["w"]), 0.5)
+    swapped = ema_swap(ema, p0)
+    assert swapped["w"].dtype == jnp.bfloat16
+
+
+def test_scheduler_registry():
+    from flashfftconv_tpu.utils.registry import instantiate
+
+    s = instantiate("scheduler", {"_name_": "linear", "init_value": 1.0,
+                                  "end_value": 0.0, "transition_steps": 10})
+    assert abs(float(s(5)) - 0.5) < 1e-6
+    s2 = instantiate("scheduler", {"_name_": "exponential", "init_value": 1.0,
+                                   "transition_steps": 10, "decay_rate": 0.5})
+    assert float(s2(10)) < 1.0
