@@ -41,24 +41,34 @@ def set_b_h(seqlen: int) -> tuple[int, int]:
     return 1, 32
 
 
+def sync(out):
+    """Force REAL completion by reading one element back to the host —
+    jax.block_until_ready through the axon relay can degrade to a no-op
+    (observed: 4 GB ops "completing" in 40 us), a readback cannot lie."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    sc = leaf if getattr(leaf, "ndim", 0) == 0 else leaf.ravel()[0]
+    np.asarray(jax.device_get(sc))
+
+
 def timeit(f, *args, iters=None, warmup=2):
-    """Pipelined timing: block once after the loop. The axon relay charges a
-    fixed ~30 ms host<->device sync per block_until_ready, so the iteration
+    """Pipelined timing: sync once after the loop. The axon relay charges a
+    fixed ~30 ms host<->device round trip per sync, so the iteration
     count is auto-scaled until the loop body dominates (>= ~2 s or 200
     iters), then the sync cost is subtracted via a two-point fit:
     t_n = T + C/n measured at n and 2n gives T = 2*t_2n - t_n."""
-    import jax
 
     for _ in range(warmup):
         out = f(*args)
-    jax.block_until_ready(out)
+    sync(out)
 
     def loop(n):
         t0 = time.perf_counter()
         out = None
         for _ in range(n):
             out = f(*args)
-        jax.block_until_ready(out)
+        sync(out)
         return (time.perf_counter() - t0) / n
 
     if iters is None:

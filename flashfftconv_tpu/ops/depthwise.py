@@ -21,6 +21,7 @@ wins over lax.conv's im2col.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -258,6 +259,171 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
     )(*inputs)
 
 
+def _build_halos(x, lt, nt, hp, axis):
+    """(B, nt, 2hp, D)/(B, nt, D, 2hp): the hp rows left and right of each
+    length tile, zero-filled at the sequence ends."""
+    pad_cfg = [(0, 0)] * x.ndim
+    pad_cfg[axis] = (hp, hp)
+    xp = jnp.pad(x, pad_cfg)
+    pieces = []
+    for t in range(nt):
+        sl_l = [slice(None)] * x.ndim
+        sl_l[axis] = slice(t * lt, t * lt + hp)
+        sl_r = [slice(None)] * x.ndim
+        sl_r[axis] = slice(hp + (t + 1) * lt, hp + (t + 1) * lt + hp)
+        pieces.append(jnp.concatenate([xp[tuple(sl_l)], xp[tuple(sl_r)]], axis=axis))
+    return jnp.stack(pieces, axis=1)
+
+
+# Rows in the padded dk output block: rows [0, k) hold dk taps, row k holds
+# dbias; 16 is a Mosaic-legal sublane tile and covers k <= 9 comfortably.
+_DK_ROWS = 16
+
+# The fused backward holds ~3 f32 strips plus per-tap temporaries live at
+# once, so its tile is half the forward's to stay inside scoped VMEM.
+_L_TILE_BWD = 2048
+
+
+@functools.partial(jax.jit, static_argnames=("padding", "is_bhl"))
+def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
+    """Fused one-pass backward: du, dk and dbias from a single read of
+    (x, dout) — the TPU analog of the reference's conv1d_backward
+    (csrc/flashfftconv/conv1d/conv1d.h:76-96), with dk/dbias accumulated
+    across the (batch, length-tile) grid axes into a revisited output block
+    instead of the host-side reduction the composite path paid K extra
+    passes over x for. Requires the 'same'-conv case 2*padding == k-1.
+
+      du[l]   = sum_s w[s] * dout[l + padding - s]
+      dk[s]   = sum_{b,l} x[l + s - padding] * dout[l]
+      dbias   = sum_{b,l} dout[l]
+    """
+    k = w_kd.shape[0]
+    hp = 64 if is_bhl else 8
+    l = x.shape[-1] if is_bhl else x.shape[-2]
+    lt = l if l <= _L_TILE_BWD else _L_TILE_BWD
+    nt = l // lt
+    axis = x.ndim - 1 if is_bhl else x.ndim - 2
+    d = x.shape[1] if is_bhl else x.shape[2]
+    b = x.shape[0]
+
+    x_halos = dout_halos = None
+    if nt > 1:
+        x_halos = _build_halos(x, lt, nt, hp, axis)
+        dout_halos = _build_halos(dout, lt, nt, hp, axis)
+
+    # Grid: d-tiles outermost so the accumulated dk block's revisits (over
+    # b and t) are consecutive.
+    grid = (d // _D_TILE, b, nt)
+    if is_bhl:
+        io_spec = pl.BlockSpec(
+            (1, _D_TILE, lt), lambda j, i, t: (i, j, t), memory_space=pltpu.VMEM
+        )
+        halo_spec = pl.BlockSpec(
+            (1, 1, _D_TILE, 2 * hp), lambda j, i, t: (i, t, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        io_spec = pl.BlockSpec(
+            (1, lt, _D_TILE), lambda j, i, t: (i, t, j), memory_space=pltpu.VMEM
+        )
+        halo_spec = pl.BlockSpec(
+            (1, 1, 2 * hp, _D_TILE), lambda j, i, t: (i, t, 0, j),
+            memory_space=pltpu.VMEM,
+        )
+    w_spec = pl.BlockSpec((k, _D_TILE), lambda j, i, t: (0, j), memory_space=pltpu.VMEM)
+    dk_spec = pl.BlockSpec(
+        (_DK_ROWS, _D_TILE), lambda j, i, t: (0, j), memory_space=pltpu.VMEM
+    )
+
+    def kernel(*refs):
+        refs = list(refs)
+        x_ref = refs.pop(0)
+        dout_ref = refs.pop(0)
+        xh_ref = refs.pop(0) if nt > 1 else None
+        dh_ref = refs.pop(0) if nt > 1 else None
+        w_ref = refs.pop(0)
+        du_ref = refs.pop(0)
+        dk_ref = refs.pop(0)
+
+        first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+        @pl.when(first)
+        def _init():
+            dk_ref[...] = jnp.zeros_like(dk_ref)
+
+        def window(tile_ref, halo_ref, s):
+            """(lt, DT)/(DT, lt) f32 holding rows l+s of the tile's global
+            neighborhood (halo rows at the edges, zero outside)."""
+            lo = max(0, -s)
+            hi = min(lt, lt - s)
+            if is_bhl:
+                out = jnp.zeros((_D_TILE, lt), jnp.float32)
+                if lo < hi:
+                    seg = tile_ref[0, :, lo + s : hi + s].astype(jnp.float32)
+                    out = out + jnp.pad(seg, ((0, 0), (lo, lt - hi)))
+                if halo_ref is not None and s < 0:
+                    seg = halo_ref[0, 0, :, hp + s : hp].astype(jnp.float32)
+                    out = out + jnp.pad(seg, ((0, 0), (0, lt + s)))
+                if halo_ref is not None and s > 0:
+                    seg = halo_ref[0, 0, :, hp : hp + s].astype(jnp.float32)
+                    out = out + jnp.pad(seg, ((0, 0), (lt - s, 0)))
+            else:
+                out = jnp.zeros((lt, _D_TILE), jnp.float32)
+                if lo < hi:
+                    seg = tile_ref[0, lo + s : hi + s, :].astype(jnp.float32)
+                    out = out + jnp.pad(seg, ((lo, lt - hi), (0, 0)))
+                if halo_ref is not None and s < 0:
+                    seg = halo_ref[0, 0, hp + s : hp, :].astype(jnp.float32)
+                    out = out + jnp.pad(seg, ((0, lt + s), (0, 0)))
+                if halo_ref is not None and s > 0:
+                    seg = halo_ref[0, 0, hp : hp + s, :].astype(jnp.float32)
+                    out = out + jnp.pad(seg, ((lt - s, 0), (0, 0)))
+            return out
+
+        dout_f = (
+            dout_ref[0].astype(jnp.float32)
+        )  # (DT, lt) bhl / (lt, DT) blh
+        l_axis = 1 if is_bhl else 0
+
+        du_acc = jnp.zeros_like(dout_f)
+        dk_rows = []
+        for tap in range(k):
+            wf = w_ref[tap].astype(jnp.float32)
+            # du: dout shifted by padding - tap, weighted by w[tap]
+            shifted = window(dout_ref, dh_ref, padding - tap)
+            du_acc = du_acc + shifted * (wf[:, None] if is_bhl else wf[None, :])
+            # dk[tap]: x shifted by tap - padding, correlated with dout
+            seg_x = window(x_ref, xh_ref, tap - padding)
+            dk_rows.append((seg_x * dout_f).sum(axis=l_axis))
+        dk_new = jnp.stack(dk_rows)  # (k, DT)
+        dbias_new = dout_f.sum(axis=l_axis)[None]  # (1, DT)
+        pad_rows = _DK_ROWS - k - 1
+        update = jnp.concatenate(
+            [dk_new, dbias_new, jnp.zeros((pad_rows, _D_TILE), jnp.float32)]
+        )
+        dk_ref[...] = dk_ref[...] + update
+        du_ref[0] = du_acc.astype(du_ref.dtype)
+
+    in_specs = [io_spec, io_spec]
+    inputs = [x, dout]
+    if nt > 1:
+        in_specs += [halo_spec, halo_spec]
+        inputs += [x_halos, dout_halos]
+    in_specs.append(w_spec)
+    inputs.append(w_kd)
+    du_shape = jax.ShapeDtypeStruct(x.shape, jnp.float32)
+    dk_shape = jax.ShapeDtypeStruct((_DK_ROWS, d), jnp.float32)
+    du, dk_pad = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[io_spec, dk_spec],
+        out_shape=[du_shape, dk_shape],
+        interpret=jax.default_backend() != "tpu",
+    )(*inputs)
+    return du, dk_pad[:k], dk_pad[k]
+
+
 def _pallas_ok(x, d, l, padding, k) -> bool:
     if d % _D_TILE != 0 or padding > k - 1:
         return False
@@ -312,9 +478,46 @@ def _dw_fwd(x, w_kd, bias, padding, is_bhl, out_dtype):
 def _dw_bwd(padding, is_bhl, out_dtype, res, dout):
     """du via the same kernel with flipped weights (correlation); dk/dbias via
     XLA reductions — the {du, dk, dbias} triple of the reference's
-    conv1d_backward (csrc/flashfftconv/conv1d/conv1d.h:76-96)."""
+    conv1d_backward (csrc/flashfftconv/conv1d/conv1d.h:76-96). The 'same'-conv
+    case takes the fused one-pass kernel instead."""
     x, w_kd, bias = res
     k = w_kd.shape[0]
+    l_bwd = x.shape[-1] if is_bhl else x.shape[-2]
+    use_fused = bool(os.environ.get("FLASHFFTCONV_FUSED_DW_BWD"))
+    if x.ndim == 3 and not use_fused:
+        # du/dk via XLA's optimized grouped-conv transposes (linear_transpose
+        # runs NO forward recompute — the op is bilinear, primals suffice).
+        # Measured faster than both the K-pass einsum reduction and the
+        # fused Pallas backward (which is VPU-bound on the per-tap shifted
+        # temporaries): conv transposes ride the same conv emitter XLA AD
+        # uses, minus its extra forward.
+        f32 = jnp.float32
+        dout_f = dout.astype(f32)
+        du_t = jax.linear_transpose(
+            lambda xx: _xla_depthwise(xx, w_kd, None, padding, is_bhl, f32),
+            x.astype(f32),
+        )
+        (du,) = du_t(dout_f)
+        dw_t = jax.linear_transpose(
+            lambda ww: _xla_depthwise(x, ww, None, padding, is_bhl, f32),
+            w_kd.astype(f32),
+        )
+        (dw,) = dw_t(dout_f)
+        if bias is None:
+            dbias = None
+        else:
+            sum_axes = (0, 2) if is_bhl else (0, 1)
+            dbias = dout_f.sum(sum_axes).astype(bias.dtype)
+        return du.astype(x.dtype), dw.astype(w_kd.dtype), dbias
+    if (
+        2 * padding == k - 1
+        and k <= 9
+        and dout.shape == x.shape
+        and (l_bwd <= _L_TILE_BWD or l_bwd % _L_TILE_BWD == 0)
+    ):
+        du_f, dw_f, dbias_f = _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl)
+        dbias = None if bias is None else dbias_f.astype(bias.dtype)
+        return du_f.astype(x.dtype), dw_f.astype(w_kd.dtype), dbias
     # Transposed conv: pad' = k - 1 - padding gives du of length L.
     du = _pallas_depthwise(
         dout, jnp.flip(w_kd, axis=0), None, k - 1 - padding, is_bhl, jnp.float32

@@ -2402,14 +2402,91 @@ def _finish_dk(plan, dk_re, dk_im, k, half=False):
     return dk_t[..., : k.shape[-1]].astype(k.dtype)
 
 
+def _long_bwd_spectrum_reuse(plan, u, k, pregate, postgate, dout, ug, g):
+    """Backward for long (3/4-factor, >=64K) plans with forward-spectrum
+    reuse: ONE forward DFT each of ug = pre*u and g = post*dout serves all
+    three outputs — du = iFFT(G * conj(K_f)), the recomputed y = iFFT(Ug *
+    K_f) for dpostgate, and dk_f = sum_B G * conj(Ug) — instead of running
+    two full convolutions plus two DFTs (which recompute FFT(g)/FFT(ug)
+    inside). With the half-band (rfft) tables the per-row cost is 2 half
+    forward + <=2 half inverse transforms, i.e. a fwd:bwd transform-work
+    ratio of 1:2 gated / 1:1.5 ungated, vs 1:3 for the recompute-everything
+    layout (the reference's ">=64K backward re-runs the 3-stage pipeline"
+    scheme, /root/reference/flashfftconv/conv.py:1867-3233)."""
+    length = u.shape[-1]
+    bh = u.shape[:-1]
+    half = not _interpret()
+    kf_re, kf_im = _kernel_spectrum(plan, k, half=half)
+
+    def fwd_rows(x):
+        x2 = x.reshape(-1, length)
+        if half:
+            r, i = _forward_long_dft(plan, x2.astype(jnp.float32), half=True)
+            return r.astype(jnp.float32), i.astype(jnp.float32)
+        x2 = x2.astype(jnp.float32)
+        if length < plan.seqlen:
+            x2 = jnp.pad(x2, ((0, 0), (0, plan.seqlen - length)))
+        r, i = monarch_xla.monarch_dft(plan, x2)
+        return r.astype(jnp.float32), i.astype(jnp.float32)
+
+    def inv_rows(r, i):
+        """Planar Monarch spectrum rows -> real (C, length) signal."""
+        if half:
+            o = _inverse_long_dft(plan, r, i, half=True)
+        else:
+            o, _ = monarch_xla.monarch_idft(plan, r, i)
+        return o[..., :length].astype(jnp.float32)
+
+    ur, ui = fwd_rows(ug)
+    gr, gi = fwd_rows(g)
+    fshape = ur.shape[1:]
+
+    # dk_f = sum over batch of G * conj(Ug)  (per-channel outer product).
+    dk_re = (gr * ur + gi * ui).reshape(bh + fshape)
+    dk_im = (gi * ur - gr * ui).reshape(bh + fshape)
+    sum_axes = tuple(range(len(bh) - 1))
+    dk = _finish_dk(plan, dk_re.sum(sum_axes), dk_im.sum(sum_axes), k, half=half)
+
+    # du = iFFT(G * conj(K_f)); K_f broadcasts over the batch dims.
+    kr = kf_re.astype(jnp.float32)
+    ki = kf_im.astype(jnp.float32)
+    if len(bh) == 2:
+        kb_r = jnp.broadcast_to(kr[None], bh + fshape).reshape((-1,) + fshape)
+        kb_i = jnp.broadcast_to(ki[None], bh + fshape).reshape((-1,) + fshape)
+    else:
+        kb_r, kb_i = kr, ki
+    du_inner = inv_rows(gr * kb_r + gi * kb_i, gi * kb_r - gr * kb_i).reshape(
+        bh + (length,)
+    )
+    if pregate is None:
+        du, dpre = du_inner.astype(u.dtype), None
+    else:
+        du = (du_inner * pregate.astype(jnp.float32)).astype(u.dtype)
+        dpre = (du_inner * u.astype(jnp.float32)).astype(pregate.dtype)
+
+    if postgate is None:
+        dpost = None
+    else:
+        # y (without postgate) = iFFT(Ug * K_f), reusing Ug.
+        y_inner = inv_rows(ur * kb_r - ui * kb_i, ur * kb_i + ui * kb_r).reshape(
+            bh + (length,)
+        )
+        dpost = (y_inner * dout.astype(jnp.float32)).astype(postgate.dtype)
+    return du, dk, dpre, dpost
+
+
 def _gated_bwd(plan_key, res, dout):
     plan = _PLAN_REGISTRY[plan_key]
     u, k, pregate, postgate = res
     length = u.shape[-1]
-    kf_re, kf_im = _kernel_spectrum(plan, k, half=_use_half(plan, u))
 
     g = dout if postgate is None else dout * postgate
     ug = u if pregate is None else u * pregate
+
+    if len(plan.factors) >= 3 and u.ndim in (2, 3):
+        return _long_bwd_spectrum_reuse(plan, u, k, pregate, postgate, dout, ug, g)
+
+    kf_re, kf_im = _kernel_spectrum(plan, k, half=_use_half(plan, u))
     kfc_re, kfc_im = _kf_cast(plan, kf_re, kf_im)
 
     small_n1 = plan.factors[0] < 16
@@ -2468,8 +2545,8 @@ def _gated_bwd(plan_key, res, dout):
             dpost = (y_inner * dout.astype(jnp.float32)).astype(postgate.dtype)
         return du, dk, dpre, dpost
 
-    # General path (3-factor pipeline): du via correlation conv, dk via the
-    # XLA Monarch transforms.
+    # General path (odd 2-factor shapes, direct plans): du via correlation
+    # conv, dk via the XLA Monarch transforms.
     du_inner = _conv_raw(plan, g, kf_re, -kf_im, None, None, jnp.float32)
     if pregate is None:
         du = du_inner.astype(u.dtype)
@@ -2484,41 +2561,17 @@ def _gated_bwd(plan_key, res, dout):
         y_inner = _conv_raw(plan, u, kf_re, kf_im, pregate, None, jnp.float32)
         dpost = (y_inner * dout.astype(jnp.float32)).astype(postgate.dtype)
 
-    if len(plan.factors) >= 3 and u.ndim in (2, 3) and not _interpret():
-        # Fused-Pallas forward DFTs of ug and g (flattened over B*H), the
-        # same machinery as the kernel spectrum — the XLA einsum transforms
-        # dominate the whole backward at >=64K otherwise. dk is real, so
-        # only the lower half+1 outer bands are ever computed (rfft).
-        bh_shape = u.shape[:-1]
-        ur, ui = _forward_long_dft(
-            plan, ug.reshape(-1, length).astype(jnp.float32), half=True
-        )
-        gr, gi = _forward_long_dft(
-            plan, g.reshape(-1, length).astype(jnp.float32), half=True
-        )
-        ur, ui = ur.astype(jnp.float32), ui.astype(jnp.float32)
-        gr, gi = gr.astype(jnp.float32), gi.astype(jnp.float32)
-        dk_re = gr * ur + gi * ui
-        dk_im = gi * ur - gr * ui
-        fshape = dk_re.shape[1:]
-        dk_re = dk_re.reshape(bh_shape + fshape)
-        dk_im = dk_im.reshape(bh_shape + fshape)
-        sum_axes = tuple(range(dk_re.ndim - 1 - len(plan.factors)))
-        dk = _finish_dk(plan, dk_re.sum(sum_axes), dk_im.sum(sum_axes), k, half=True)
-        return du, dk, dpre, dpost
-    else:
+    def _pad_full(x):
+        x = x.astype(jnp.float32)
+        if x.shape[-1] < plan.seqlen:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, plan.seqlen - x.shape[-1])]
+            x = jnp.pad(x, pad)
+        return x
 
-        def _pad_full(x):
-            x = x.astype(jnp.float32)
-            if x.shape[-1] < plan.seqlen:
-                pad = [(0, 0)] * (x.ndim - 1) + [(0, plan.seqlen - x.shape[-1])]
-                x = jnp.pad(x, pad)
-            return x
-
-        ur, ui = monarch_xla.monarch_dft(plan, _pad_full(ug))
-        gr, gi = monarch_xla.monarch_dft(plan, _pad_full(g))
-        dk_re = gr * ur + gi * ui
-        dk_im = gi * ur - gr * ui
+    ur, ui = monarch_xla.monarch_dft(plan, _pad_full(ug))
+    gr, gi = monarch_xla.monarch_dft(plan, _pad_full(g))
+    dk_re = gr * ur + gi * ui
+    dk_im = gi * ur - gr * ui
     sum_axes = tuple(range(dk_re.ndim - 1 - len(plan.factors)))
     dk = _finish_dk(plan, dk_re.sum(sum_axes), dk_im.sum(sum_axes), k)
     return du, dk, dpre, dpost

@@ -20,6 +20,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    """Force REAL completion of `out`'s program by reading one element back
+    to the host. jax.block_until_ready is the natural choice, but through
+    the axon relay it can degrade to a no-op (observed: a 4 GB-traffic op
+    "completing" in 40 us), silently corrupting every timing; a scalar
+    readback cannot lie. The extra fixed cost (~30 ms round trip) is
+    cancelled by the two-point fit in benchmark_forward."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    sc = leaf if getattr(leaf, "ndim", 0) == 0 else leaf.ravel()[0]
+    np.asarray(jax.device_get(sc))
+
+
 def benchmark_forward(fn: Callable, *args, repeats: int = 10, warmup: int = 3,
                       desc: str = "", verbose: bool = False, samples: int = 3):
     """Wall-clock of fn(*args) in ms, pipelined (single sync after the
@@ -34,14 +46,14 @@ def benchmark_forward(fn: Callable, *args, repeats: int = 10, warmup: int = 3,
     f = jax.jit(fn) if not isinstance(fn, jax.stages.Wrapped) else fn
     for _ in range(warmup):
         out = f(*args)
-    jax.block_until_ready(out)
+    _sync(out)
 
     def loop(n):
         t0 = time.perf_counter()
         out = None
         for _ in range(n):
             out = f(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         return (time.perf_counter() - t0) / n
 
     # Auto-scale: enough iterations that the loop runs >= ~0.5 s (or the
