@@ -33,6 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 # in _L_TILE chunks with an XLA-precomputed (k-1)-row halo per chunk edge
 # (one extra read of 2*(k-1)*D elements per tile — negligible vs the strip).
 _L_TILE = 4096
+# BHL places L on the lane axis, where each shifted tap slice materializes
+# its own full-width f32 buffer in the fast strip kernel; halving the tile
+# keeps k * lt * 4B inside the 16 MB scoped-VMEM budget (observed OOM at
+# 4096 with k=7).
+_L_TILE_BHL = 2048
 _D_TILE = 128
 
 
@@ -60,6 +65,12 @@ def _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
             padding=[(padding, padding)],
             feature_group_count=d,
             dimension_numbers=dn,
+            # f32 inputs get true f32 multiplies (TPU DEFAULT truncates f32
+            # conv operands to bf16 passes; the reference CUDA kernels
+            # multiply exactly in the storage dtype). The op is bandwidth-
+            # bound, so the extra passes are free; for bf16 inputs HIGHEST
+            # is a no-op (operands are already exact, accumulation is f32).
+            precision=lax.Precision.HIGHEST,
         ).astype(jnp.float32)
         if bias is not None:
             bias_f = bias.astype(jnp.float32)
@@ -112,25 +123,16 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
     hp = 64 if is_bhl else 8
     l = x.shape[-1] if is_bhl else x.shape[-2]
     l_out = l + 2 * padding - k + 1
-    lt = l if l <= _L_TILE else _L_TILE
+    lmax = _L_TILE_BHL if is_bhl else _L_TILE
+    lt = l if l <= lmax else lmax
     nt = l // lt
     axis = x.ndim - 1 if is_bhl else x.ndim - 2
 
     halos = None
     if nt > 1:
-        # halos[:, t] = padded_x rows [t*lt - hp, t*lt) ++ [(t+1)*lt, (t+1)*lt + hp)
+        # halos[:, t] = rows [t*lt - hp, t*lt) ++ [(t+1)*lt, (t+1)*lt + hp)
         # — the hp rows left and right of tile t, zero-filled at the ends.
-        pad_cfg = [(0, 0)] * x.ndim
-        pad_cfg[axis] = (hp, hp)
-        xp = jnp.pad(x, pad_cfg)
-        pieces = []
-        for t in range(nt):
-            sl_l = [slice(None)] * x.ndim
-            sl_l[axis] = slice(t * lt, t * lt + hp)
-            sl_r = [slice(None)] * x.ndim
-            sl_r[axis] = slice(hp + (t + 1) * lt, hp + (t + 1) * lt + hp)
-            pieces.append(jnp.concatenate([xp[tuple(sl_l)], xp[tuple(sl_r)]], axis=axis))
-        halos = jnp.stack(pieces, axis=1)  # (B, nt, 2hp, D) / (B, nt, D, 2hp)
+        halos = _build_halos(x, lt, nt, hp, axis)  # (B, nt, 2hp, D) / (B, nt, D, 2hp)
 
     if is_bhl:
         b, d, _ = x.shape
@@ -180,60 +182,64 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
     has_bias = bias is not None
     tile_out = lt if nt > 1 else l_out
 
+    # The fast kernel builds ONE extended strip xe = [left halo | tile |
+    # right halo] (a single VMEM concat), then each tap is a plain slice +
+    # fused multiply-add — ~3 VPU passes per tap instead of the ~8 the
+    # zeros+pad+add formulation costs. Needs every tap's shift to land
+    # inside the hp-row apron; larger kernels (single-tile only) take the
+    # legacy per-tap clamped-slice path.
+    fast = padding <= hp and k - 1 - padding <= hp and tile_out == lt
+
     def kernel(*refs):
-        # Per-tap static slice arithmetic — no padded copy, so the working
-        # set is just the bf16 input strip + one f32 accumulator.
-        # Within tile t: out[l] = sum_tap w[tap] * x_tile[l + s], s = tap -
-        # padding; rows outside [0, lt) come from the halo ref (tiled path)
-        # or are zero (sequence edge).
         refs = list(refs)
         x_ref = refs.pop(0)
         halo_ref = refs.pop(0) if nt > 1 else None
         w_ref = refs.pop(0)
         bias_ref = refs.pop(0) if has_bias else None
         o_ref = refs.pop(0)
-        acc = jnp.zeros(
-            (_D_TILE, tile_out) if is_bhl else (tile_out, _D_TILE), jnp.float32
-        )
-        for tap in range(k):
-            s = tap - padding
-            lo = max(0, -s)
-            hi = min(tile_out, lt - s)
-            if lo < hi:
-                if is_bhl:
-                    seg = x_ref[0, :, lo + s : hi + s].astype(jnp.float32)
-                    term = seg * w_ref[tap].astype(jnp.float32)[:, None]
-                    acc = acc + jnp.pad(term, ((0, 0), (lo, tile_out - hi)))
-                else:
-                    seg = x_ref[0, lo + s : hi + s, :].astype(jnp.float32)
-                    term = seg * w_ref[tap].astype(jnp.float32)[None, :]
-                    acc = acc + jnp.pad(term, ((lo, tile_out - hi), (0, 0)))
+        ax = 1 if is_bhl else 0
+        if fast:
             if halo_ref is not None:
-                wf = w_ref[tap].astype(jnp.float32)
-                if s < 0 and lo > 0:
-                    # out rows [0, -s) read halo rows [hp+s, hp) (left side).
+                left = halo_ref[0, 0, :, :hp] if is_bhl else halo_ref[0, 0, :hp, :]
+                right = halo_ref[0, 0, :, hp:] if is_bhl else halo_ref[0, 0, hp:, :]
+            else:
+                zshape = (_D_TILE, hp) if is_bhl else (hp, _D_TILE)
+                left = right = jnp.zeros(zshape, x_ref.dtype)
+            # xe stays in the input dtype — a persistent f32 copy at bf16
+            # inputs would double its VMEM footprint (observed: scoped-vmem
+            # OOM at the BHL L-tile); slices widen transiently at use.
+            xe = jnp.concatenate([left, x_ref[0], right], axis=ax)
+            acc = jnp.zeros(
+                (_D_TILE, tile_out) if is_bhl else (tile_out, _D_TILE), jnp.float32
+            )
+            for tap in range(k):
+                s = tap - padding  # out[l] += w[tap] * x[l + s] = xe[hp + l + s]
+                if is_bhl:
+                    seg = xe[:, hp + s : hp + s + tile_out].astype(jnp.float32)
+                    acc = acc + seg * w_ref[tap].astype(jnp.float32)[:, None]
+                else:
+                    seg = xe[hp + s : hp + s + tile_out, :].astype(jnp.float32)
+                    acc = acc + seg * w_ref[tap].astype(jnp.float32)[None, :]
+        else:
+            # Legacy path: per-tap clamped slices with explicit zero pads;
+            # only reachable single-tile (nt == 1), where the sequence edge
+            # is the only boundary.
+            acc = jnp.zeros(
+                (_D_TILE, tile_out) if is_bhl else (tile_out, _D_TILE), jnp.float32
+            )
+            for tap in range(k):
+                s = tap - padding
+                lo = max(0, -s)
+                hi = min(tile_out, lt - s)
+                if lo < hi:
                     if is_bhl:
-                        seg = halo_ref[0, 0, :, hp + s : hp].astype(jnp.float32)
-                        acc = acc + jnp.pad(
-                            seg * wf[:, None], ((0, 0), (0, tile_out + s))
-                        )
+                        seg = x_ref[0, :, lo + s : hi + s].astype(jnp.float32)
+                        term = seg * w_ref[tap].astype(jnp.float32)[:, None]
+                        acc = acc + jnp.pad(term, ((0, 0), (lo, tile_out - hi)))
                     else:
-                        seg = halo_ref[0, 0, hp + s : hp, :].astype(jnp.float32)
-                        acc = acc + jnp.pad(
-                            seg * wf[None, :], ((0, tile_out + s), (0, 0))
-                        )
-                if s > 0 and hi < tile_out:
-                    # out rows [lt-s, lt) read halo rows [hp, hp+s) (right side).
-                    if is_bhl:
-                        seg = halo_ref[0, 0, :, hp : hp + s].astype(jnp.float32)
-                        acc = acc + jnp.pad(
-                            seg * wf[:, None], ((0, 0), (tile_out - s, 0))
-                        )
-                    else:
-                        seg = halo_ref[0, 0, hp : hp + s, :].astype(jnp.float32)
-                        acc = acc + jnp.pad(
-                            seg * wf[None, :], ((tile_out - s, 0), (0, 0))
-                        )
+                        seg = x_ref[0, lo + s : hi + s, :].astype(jnp.float32)
+                        term = seg * w_ref[tap].astype(jnp.float32)[None, :]
+                        acc = acc + jnp.pad(term, ((lo, tile_out - hi), (0, 0)))
         if has_bias:
             bias_v = bias_ref[0].astype(jnp.float32)
             acc = acc + (bias_v[:, None] if is_bhl else bias_v[None, :])
@@ -261,17 +267,25 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
 
 def _build_halos(x, lt, nt, hp, axis):
     """(B, nt, 2hp, D)/(B, nt, D, 2hp): the hp rows left and right of each
-    length tile, zero-filled at the sequence ends."""
-    pad_cfg = [(0, 0)] * x.ndim
-    pad_cfg[axis] = (hp, hp)
-    xp = jnp.pad(x, pad_cfg)
-    pieces = []
-    for t in range(nt):
-        sl_l = [slice(None)] * x.ndim
-        sl_l[axis] = slice(t * lt, t * lt + hp)
-        sl_r = [slice(None)] * x.ndim
-        sl_r[axis] = slice(hp + (t + 1) * lt, hp + (t + 1) * lt + hp)
-        pieces.append(jnp.concatenate([xp[tuple(sl_l)], xp[tuple(sl_r)]], axis=axis))
+    length tile, zero-filled at the sequence ends. Built from direct slices
+    of x (never a padded copy of the full array — that would cost an extra
+    full HBM round trip, which at L-tiled sizes is the dominant traffic)."""
+    zshape = list(x.shape)
+    zshape[axis] = hp
+    zeros = jnp.zeros(zshape, x.dtype)
+
+    def rows(start):
+        """x rows [start, start+hp), or zeros when outside the sequence."""
+        if start < 0 or start >= x.shape[axis]:
+            return zeros
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(start, start + hp)
+        return x[tuple(sl)]
+
+    pieces = [
+        jnp.concatenate([rows(t * lt - hp), rows((t + 1) * lt)], axis=axis)
+        for t in range(nt)
+    ]
     return jnp.stack(pieces, axis=1)
 
 
@@ -282,6 +296,7 @@ _DK_ROWS = 16
 # The fused backward holds ~3 f32 strips plus per-tap temporaries live at
 # once, so its tile is half the forward's to stay inside scoped VMEM.
 _L_TILE_BWD = 2048
+_L_TILE_BWD_BHL = 1024
 
 
 @functools.partial(jax.jit, static_argnames=("padding", "is_bhl"))
@@ -300,7 +315,8 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
     k = w_kd.shape[0]
     hp = 64 if is_bhl else 8
     l = x.shape[-1] if is_bhl else x.shape[-2]
-    lt = l if l <= _L_TILE_BWD else _L_TILE_BWD
+    lmax = _L_TILE_BWD_BHL if is_bhl else _L_TILE_BWD
+    lt = l if l <= lmax else lmax
     nt = l // lt
     axis = x.ndim - 1 if is_bhl else x.ndim - 2
     d = x.shape[1] if is_bhl else x.shape[2]
@@ -351,38 +367,32 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
         def _init():
             dk_ref[...] = jnp.zeros_like(dk_ref)
 
-        def window(tile_ref, halo_ref, s):
-            """(lt, DT)/(DT, lt) f32 holding rows l+s of the tile's global
-            neighborhood (halo rows at the edges, zero outside)."""
-            lo = max(0, -s)
-            hi = min(lt, lt - s)
-            if is_bhl:
-                out = jnp.zeros((_D_TILE, lt), jnp.float32)
-                if lo < hi:
-                    seg = tile_ref[0, :, lo + s : hi + s].astype(jnp.float32)
-                    out = out + jnp.pad(seg, ((0, 0), (lo, lt - hi)))
-                if halo_ref is not None and s < 0:
-                    seg = halo_ref[0, 0, :, hp + s : hp].astype(jnp.float32)
-                    out = out + jnp.pad(seg, ((0, 0), (0, lt + s)))
-                if halo_ref is not None and s > 0:
-                    seg = halo_ref[0, 0, :, hp : hp + s].astype(jnp.float32)
-                    out = out + jnp.pad(seg, ((0, 0), (lt - s, 0)))
-            else:
-                out = jnp.zeros((lt, _D_TILE), jnp.float32)
-                if lo < hi:
-                    seg = tile_ref[0, lo + s : hi + s, :].astype(jnp.float32)
-                    out = out + jnp.pad(seg, ((lo, lt - hi), (0, 0)))
-                if halo_ref is not None and s < 0:
-                    seg = halo_ref[0, 0, hp + s : hp, :].astype(jnp.float32)
-                    out = out + jnp.pad(seg, ((0, lt + s), (0, 0)))
-                if halo_ref is not None and s > 0:
-                    seg = halo_ref[0, 0, hp : hp + s, :].astype(jnp.float32)
-                    out = out + jnp.pad(seg, ((lt - s, 0), (0, 0)))
-            return out
+        ax = 1 if is_bhl else 0
 
-        dout_f = (
-            dout_ref[0].astype(jnp.float32)
-        )  # (DT, lt) bhl / (lt, DT) blh
+        def extended(tile_ref, halo_ref):
+            """[left halo | tile | right halo] as one strip in the input
+            dtype — built once, so each tap's shifted window is a plain
+            slice instead of a zeros+pad+add pass (the bwd kernel was
+            VPU-bound on those). Slices widen to f32 transiently at use;
+            a persistent f32 strip would blow the scoped-VMEM budget."""
+            if halo_ref is not None:
+                left = halo_ref[0, 0, :, :hp] if is_bhl else halo_ref[0, 0, :hp, :]
+                right = halo_ref[0, 0, :, hp:] if is_bhl else halo_ref[0, 0, hp:, :]
+            else:
+                zshape = (_D_TILE, hp) if is_bhl else (hp, _D_TILE)
+                left = right = jnp.zeros(zshape, tile_ref.dtype)
+            return jnp.concatenate([left, tile_ref[0], right], axis=ax)
+
+        def shifted(xe, s):
+            """xe rows [hp + s, hp + s + lt) — tile rows l + s — as f32."""
+            seg = (
+                xe[:, hp + s : hp + s + lt] if is_bhl else xe[hp + s : hp + s + lt, :]
+            )
+            return seg.astype(jnp.float32)
+
+        xe = extended(x_ref, xh_ref)
+        de = extended(dout_ref, dh_ref)
+        dout_f = shifted(de, 0)  # (DT, lt) bhl / (lt, DT) blh
         l_axis = 1 if is_bhl else 0
 
         du_acc = jnp.zeros_like(dout_f)
@@ -390,11 +400,10 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
         for tap in range(k):
             wf = w_ref[tap].astype(jnp.float32)
             # du: dout shifted by padding - tap, weighted by w[tap]
-            shifted = window(dout_ref, dh_ref, padding - tap)
-            du_acc = du_acc + shifted * (wf[:, None] if is_bhl else wf[None, :])
+            sh = shifted(de, padding - tap)
+            du_acc = du_acc + sh * (wf[:, None] if is_bhl else wf[None, :])
             # dk[tap]: x shifted by tap - padding, correlated with dout
-            seg_x = window(x_ref, xh_ref, tap - padding)
-            dk_rows.append((seg_x * dout_f).sum(axis=l_axis))
+            dk_rows.append((shifted(xe, tap - padding) * dout_f).sum(axis=l_axis))
         dk_new = jnp.stack(dk_rows)  # (k, DT)
         dbias_new = dout_f.sum(axis=l_axis)[None]  # (1, DT)
         pad_rows = _DK_ROWS - k - 1
@@ -411,7 +420,9 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
         inputs += [x_halos, dout_halos]
     in_specs.append(w_spec)
     inputs.append(w_kd)
-    du_shape = jax.ShapeDtypeStruct(x.shape, jnp.float32)
+    # du is stored in the activation dtype: the f32 accumulator is rounded
+    # once at the store, and writing f32 would double the dominant HBM write.
+    du_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
     dk_shape = jax.ShapeDtypeStruct((_DK_ROWS, d), jnp.float32)
     du, dk_pad = pl.pallas_call(
         kernel,
@@ -424,15 +435,16 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
     return du, dk_pad[:k], dk_pad[k]
 
 
-def _pallas_ok(x, d, l, padding, k) -> bool:
+def _pallas_ok(x, d, l, padding, k, is_bhl) -> bool:
     if d % _D_TILE != 0 or padding > k - 1:
         return False
-    if l <= _L_TILE:
+    lmax = _L_TILE_BHL if is_bhl else _L_TILE
+    if l <= lmax:
         return True
     # Tiled path: uniform tiles, same-length output (the "same" conv the
     # models use), and a kernel that fits the per-side halo allotment;
     # other shapes take the XLA path.
-    return l % _L_TILE == 0 and 2 * padding == k - 1 and k - 1 <= 8
+    return l % lmax == 0 and 2 * padding == k - 1 and k - 1 <= 8
 
 
 def depthwise_conv1d(
@@ -461,7 +473,7 @@ def depthwise_conv1d(
     _check(weights, bias, k)
     out_dtype = x.dtype
 
-    if x.ndim == 3 and _pallas_ok(x, d, l, padding, k):
+    if x.ndim == 3 and _pallas_ok(x, d, l, padding, k, is_bhl):
         return _dw_conv(x, w_kd, bias, padding, is_bhl, out_dtype)
     return _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype)
 
@@ -483,41 +495,49 @@ def _dw_bwd(padding, is_bhl, out_dtype, res, dout):
     x, w_kd, bias = res
     k = w_kd.shape[0]
     l_bwd = x.shape[-1] if is_bhl else x.shape[-2]
-    use_fused = bool(os.environ.get("FLASHFFTCONV_FUSED_DW_BWD"))
-    if x.ndim == 3 and not use_fused:
-        # du/dk via XLA's optimized grouped-conv transposes (linear_transpose
-        # runs NO forward recompute — the op is bilinear, primals suffice).
-        # Measured faster than both the K-pass einsum reduction and the
-        # fused Pallas backward (which is VPU-bound on the per-tap shifted
-        # temporaries): conv transposes ride the same conv emitter XLA AD
-        # uses, minus its extra forward.
-        f32 = jnp.float32
-        dout_f = dout.astype(f32)
+    fused_ok = (
+        2 * padding == k - 1
+        and k <= 9
+        and dout.shape == x.shape
+        and (
+            l_bwd <= (_L_TILE_BWD_BHL if is_bhl else _L_TILE_BWD)
+            or l_bwd % (_L_TILE_BWD_BHL if is_bhl else _L_TILE_BWD) == 0
+        )
+    )
+    if fused_ok and not os.environ.get("FLASHFFTCONV_DW_BWD_CONVS"):
+        # Default: the fused one-pass Pallas backward. Measured (interleaved
+        # min-of-4 on v5e, B=16, K=5) at 0.98-1.18x of XLA's grouped-conv AD
+        # while the transposed-conv composite sits at 0.69-0.84x — the Pallas
+        # forward pins x/dout to the default {2,1,0} layout, and XLA's
+        # depthwise conv emitter wants batch-in-sublanes {2,0,1}, so any
+        # XLA-conv backward behind the Pallas forward pays full-tensor
+        # relayout copies that AD of a pure-XLA forward never sees.
+        du_f, dw_f, dbias_f = _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl)
+        dbias = None if bias is None else dbias_f.astype(bias.dtype)
+        return du_f.astype(x.dtype), dw_f.astype(w_kd.dtype), dbias
+    if x.ndim == 3:
+        # du/dk via XLA's grouped-conv transposes (linear_transpose runs NO
+        # forward recompute — the op is bilinear, primals suffice). Compute
+        # dtype stays x.dtype (bf16): upcasting the strips to f32 doubles
+        # HBM traffic; XLA's conv accumulates in f32 internally either way.
+        cd = x.dtype
+        dout_c = dout.astype(cd)
         du_t = jax.linear_transpose(
-            lambda xx: _xla_depthwise(xx, w_kd, None, padding, is_bhl, f32),
-            x.astype(f32),
+            lambda xx: _xla_depthwise(xx, w_kd, None, padding, is_bhl, cd),
+            x,
         )
-        (du,) = du_t(dout_f)
+        (du,) = du_t(dout_c)
         dw_t = jax.linear_transpose(
-            lambda ww: _xla_depthwise(x, ww, None, padding, is_bhl, f32),
-            w_kd.astype(f32),
+            lambda ww: _xla_depthwise(x, ww, None, padding, is_bhl, cd),
+            w_kd,
         )
-        (dw,) = dw_t(dout_f)
+        (dw,) = dw_t(dout_c)
         if bias is None:
             dbias = None
         else:
             sum_axes = (0, 2) if is_bhl else (0, 1)
-            dbias = dout_f.sum(sum_axes).astype(bias.dtype)
+            dbias = dout.astype(jnp.float32).sum(sum_axes).astype(bias.dtype)
         return du.astype(x.dtype), dw.astype(w_kd.dtype), dbias
-    if (
-        2 * padding == k - 1
-        and k <= 9
-        and dout.shape == x.shape
-        and (l_bwd <= _L_TILE_BWD or l_bwd % _L_TILE_BWD == 0)
-    ):
-        du_f, dw_f, dbias_f = _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl)
-        dbias = None if bias is None else dbias_f.astype(bias.dtype)
-        return du_f.astype(x.dtype), dw_f.astype(w_kd.dtype), dbias
     # Transposed conv: pad' = k - 1 - padding gives du of length L.
     du = _pallas_depthwise(
         dout, jnp.flip(w_kd, axis=0), None, k - 1 - padding, is_bhl, jnp.float32

@@ -66,10 +66,13 @@ def benchmark_forward(fn: Callable, *args, repeats: int = 10, warmup: int = 3,
         t_half = loop(max(iters // 2, 1))
         t_full = loop(iters)
         fits.append(max(2 * t_full - t_half, t_full / 2))
-    med = float(np.median(fits)) * 1e3
+    # Min of the fits, not median: the chip behind the relay is shared, so
+    # individual fits carry contention spikes; the minimum estimates the
+    # uncontended kernel time (and is the standard benchmark estimator).
+    best = float(np.min(fits)) * 1e3
     if verbose:
-        print(f"{desc}: {med:.3f} ms")
-    return med
+        print(f"{desc}: {best:.3f} ms")
+    return best
 
 
 def benchmark_backward(fn: Callable, *args, argnums=(0,), repeats: int = 10,

@@ -20,6 +20,10 @@ def _ref_conv1d(x_bhl, w_dk, bias, padding):
         padding=[(padding, padding)],
         feature_group_count=d,
         dimension_numbers=("NCH", "OIH", "NCH"),
+        # True f32 multiplies: TPU's DEFAULT conv precision truncates f32
+        # operands to bf16 passes, which would make the ORACLE the sloppy
+        # side (observed: ~3e-1 abs error vs the exact-f32 Pallas kernels).
+        precision=jax.lax.Precision.HIGHEST,
     )
     if bias is not None:
         out = out + bias.astype(jnp.float32)[None, :, None]
@@ -187,7 +191,7 @@ def test_pallas_tiled_long_l(rng, monkeypatch, is_bhl, k):
     bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
     if is_bhl:
         x = jnp.asarray(rng.standard_normal((b, d, l)).astype(np.float32))
-        assert dw._pallas_ok(x, d, l, pad, k)
+        assert dw._pallas_ok(x, d, l, pad, k, True)
         y = depthwise_conv1d(x, w_dk, bias, padding=pad, is_bhl=True)
         y_ref = _ref_conv1d(x, w_dk, bias, pad)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
@@ -220,4 +224,71 @@ def test_pallas_tiled_grads(rng, monkeypatch):
     for name, a, b_ in zip(["dx", "dw", "dbias"], g, g_ref):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=1e-3, err_msg=name
+        )
+
+
+@pytest.mark.parametrize("is_bhl", [True, False])
+@pytest.mark.parametrize("k", [3, 5, 9])
+def test_fused_bwd_tiled(rng, monkeypatch, is_bhl, k):
+    """The fused one-pass Pallas backward, including its L-tiled (nt > 1)
+    variant, matches AD of the reference conv: {du, dk, dbias} at once."""
+    from flashfftconv_tpu.ops import depthwise as dw
+
+    monkeypatch.setattr(dw, "_L_TILE", 64)
+    monkeypatch.setattr(dw, "_L_TILE_BWD", 64)
+    b, d, l, pad = 2, 128, 256, (k - 1) // 2
+    w_dk = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
+    if is_bhl:
+        x = jnp.asarray(rng.standard_normal((b, d, l)).astype(np.float32))
+        w = w_dk
+    else:
+        x = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+        w = w_dk.T
+
+    def loss_mine(x, w, bias):
+        return jnp.sum(depthwise_conv1d(x, w, bias, padding=pad, is_bhl=is_bhl) ** 2)
+
+    def loss_ref(x, w, bias):
+        xb = x if is_bhl else jnp.swapaxes(x, 1, 2)
+        wd = w if is_bhl else w.T
+        return jnp.sum(_ref_conv1d(xb, wd, bias, pad) ** 2)
+
+    g = jax.grad(loss_mine, argnums=(0, 1, 2))(x, w, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, bias)
+    for name, a, b_ in zip(["dx", "dw", "dbias"], g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-3,
+            err_msg=f"{name} is_bhl={is_bhl} k={k}",
+        )
+
+
+@pytest.mark.parametrize("is_bhl", [True, False])
+def test_conv_transpose_bwd_path(rng, monkeypatch, is_bhl):
+    """FLASHFFTCONV_DW_BWD_CONVS routes the backward through XLA's
+    grouped-conv linear transposes; grads must match the reference."""
+    monkeypatch.setenv("FLASHFFTCONV_DW_BWD_CONVS", "1")
+    b, d, l, k, pad = 2, 128, 64, 5, 2
+    w_dk = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
+    if is_bhl:
+        x = jnp.asarray(rng.standard_normal((b, d, l)).astype(np.float32))
+        w = w_dk
+    else:
+        x = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+        w = w_dk.T
+
+    def loss_mine(x, w, bias):
+        return jnp.sum(depthwise_conv1d(x, w, bias, padding=pad, is_bhl=is_bhl) ** 2)
+
+    def loss_ref(x, w, bias):
+        xb = x if is_bhl else jnp.swapaxes(x, 1, 2)
+        wd = w if is_bhl else w.T
+        return jnp.sum(_ref_conv1d(xb, wd, bias, pad) ** 2)
+
+    g = jax.grad(loss_mine, argnums=(0, 1, 2))(x, w, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, bias)
+    for name, a, b_ in zip(["dx", "dw", "dbias"], g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-3, err_msg=f"{name} is_bhl={is_bhl}"
         )
