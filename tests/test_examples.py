@@ -58,6 +58,19 @@ def test_bert_example():
 
 
 @pytest.mark.slow
+def test_lra_listops_example(tmp_path):
+    r = _run(
+        ["examples/lra/train_listops.py", "--epochs", "1", "--n-train", "64",
+         "--n-val", "32", "--batch_size", "32", "--l-max", "256",
+         "--d_model", "32", "--n_layers", "1",
+         "--data-cache", str(tmp_path / "listops.npz"),
+         "--ckpt-dir", str(tmp_path / "ckpt")]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "val acc" in r.stdout
+
+
+@pytest.mark.slow
 def test_hyena_dna_example():
     r = _run(
         ["examples/hyena_dna/train.py", "--steps", "2", "--d_model", "32",
