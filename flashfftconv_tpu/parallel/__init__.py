@@ -1,0 +1,24 @@
+"""Mesh parallelism: DP/TP/SP sharding helpers (`mesh`) and the
+sequence-sharded FFT convolution (`seq_conv`) that distributes one long conv
+across devices — a capability beyond the reference, whose conv is strictly
+single-device (SURVEY.md §5.7)."""
+
+from flashfftconv_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    sequence_sharding,
+    zero1_shardings,
+    zero2_shardings,
+)
+from flashfftconv_tpu.parallel.seq_conv import seq_fft_conv
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "param_shardings",
+    "sequence_sharding",
+    "zero1_shardings",
+    "zero2_shardings",
+    "seq_fft_conv",
+]

@@ -1,0 +1,216 @@
+"""Sequence-sharded FFT convolution over a device mesh (context parallelism).
+
+The reference handles long sequences strictly on a single device — its 3-stage
+butterfly pipeline tops out at the 4M elements that fit one GPU's HBM, and its
+Megatron-style sequence parallelism shards only *pointwise* blocks, never the
+convolution itself (/root/reference SURVEY.md §2.6, §5.7: "the conv is never
+sequence-sharded"). This module goes past that: the Monarch/four-step FFT
+factorization *is* a distributed algorithm. Write N = P * N2 with P = the mesh
+axis size; then
+
+  FFT_N(x)[m2*P + m1] = DFT_{N2, n2->m2}( W_N^{m1*n2} * DFT_{P, n1->m1}(x[n1*N2+n2]) )
+
+The chunk axis n1 is the device axis: the P-point outer DFT mixes *across*
+devices (two `all_to_all`s — the classic distributed-FFT transpose), the
+twiddle and the length-N2 inner transforms are device-local Monarch matmul
+chains (`ops/monarch_xla.py`), and the frequency-domain kernel multiply is
+pointwise in each device's band m1. A circular conv at size N = scatter,
+outer DFT, twiddle, per-band length-N2 conv against the kernel's band
+spectrum, conjugate twiddle, outer IDFT, gather — 3 all_to_alls for the
+activations + 2 for the kernel, everything else local MXU work.
+
+This shards the *sequence* itself: a mesh of 8 chips runs one 32M-point
+convolution (8 x 4M), with HBM per chip holding only the 1/P chunk. Gates
+(pregate/postgate) are pointwise in the time domain and stay local.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from flashfftconv_tpu.ops.monarch_xla import monarch_dft, monarch_idft
+from flashfftconv_tpu.ops.plan import make_plan
+
+
+def _outer_dft_matrices(p: int):
+    """(W_re, W_im, Winv_re, Winv_im): the P-point DFT across chunks and its
+    inverse (1/P folded in), f32, exact integer-mod phases."""
+    idx = np.arange(p, dtype=np.int64)
+    ph = (idx[:, None] * idx[None, :]) % p
+    ang = -2.0 * np.pi * ph / p
+    w_re = np.cos(ang, dtype=np.float64).astype(np.float32)
+    w_im = np.sin(ang, dtype=np.float64).astype(np.float32)
+    return (
+        jnp.asarray(w_re),
+        jnp.asarray(w_im),
+        jnp.asarray(w_re.T / p),
+        jnp.asarray(-w_im.T / p),
+    )
+
+
+def _outer_mm(w_re, w_im, xre, xim):
+    """Complex matmul along axis -2 (the chunk/band axis): x (..., P, Q)."""
+    mm = functools.partial(
+        jnp.einsum, "mn,...nq->...mq", preferred_element_type=jnp.float32
+    )
+    if xim is None:
+        return mm(w_re, xre), mm(w_im, xre)
+    return (
+        mm(w_re, xre) - mm(w_im, xim),
+        mm(w_re, xim) + mm(w_im, xre),
+    )
+
+
+def _twiddle(p, q, n, e, conj):
+    """W_N^{m1 * n2} for m1 in [0, P), n2 = e*Q + j, j in [0, Q): (P, Q) planar.
+
+    Phases are exact int32 products reduced mod N (m1 * n2 < N <= 2^31), like
+    the plan's integer-mod tables (ops/plan.py); the angle division is the
+    only rounding.
+    """
+    m1 = jnp.arange(p, dtype=jnp.int32)[:, None]
+    n2 = (e * q + jnp.arange(q, dtype=jnp.int32))[None, :]
+    ph = (m1 * n2) % n
+    ang = (-2.0 * jnp.pi / n) * ph.astype(jnp.float32)
+    tre = jnp.cos(ang)
+    tim = jnp.sin(ang)
+    return tre, -tim if conj else tim
+
+
+def _cmul(xre, xim, wre, wim):
+    if xim is None:
+        return xre * wre, xre * wim
+    return xre * wre - xim * wim, xre * wim + xim * wre
+
+
+def _scatter(x, axis_name, p):
+    """(..., N2) -> (..., P, Q) with axis -2 indexing the *source* device:
+    the distributed-FFT transpose. On entry every device holds one chunk/band
+    along the sharded sequence; on exit it holds all chunks' (or bands')
+    j-block e, e = this device."""
+    q = x.shape[-1] // p
+    x = x.reshape(*x.shape[:-1], p, q)
+    ax = x.ndim - 2
+    return lax.all_to_all(x, axis_name, split_axis=ax, concat_axis=ax, tiled=True)
+
+
+def _gather(x, axis_name):
+    """(..., P, Q) with axis -2 the chunk/band index -> (..., N2): device d
+    ends up holding the full-length row d (inverse of _scatter's layout)."""
+    ax = x.ndim - 2
+    out = lax.all_to_all(
+        x, axis_name, split_axis=ax, concat_axis=x.ndim - 1, tiled=True
+    )
+    return out.reshape(*out.shape[: ax], out.shape[-1])
+
+
+def _band_spectrum(k_loc, plan2, axis_name, p, q, n, e, w_re, w_im):
+    """This device's band m1=e of the kernel's N-point spectrum, in the inner
+    plan's Monarch layout: run the kernel chunk through the same scatter ->
+    outer DFT -> twiddle -> gather -> inner DFT pipeline as the input."""
+    ks = _scatter(k_loc.astype(jnp.float32), axis_name, p)
+    kre, kim = _outer_mm(w_re, w_im, ks, None)
+    tre, tim = _twiddle(p, q, n, e, conj=False)
+    kre, kim = _cmul(kre, kim, tre, tim)
+    kre, kim = _gather(kre, axis_name), _gather(kim, axis_name)
+    return monarch_dft(plan2, kre, kim)
+
+
+def seq_fft_conv(
+    u: jax.Array,
+    k: jax.Array,
+    mesh: Mesh,
+    axis: str = "sp",
+    pregate: jax.Array | None = None,
+    postgate: jax.Array | None = None,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Circular FFT conv of size N with the sequence sharded over `mesh[axis]`.
+
+    Semantics match ``fft_conv`` at L == N:
+    ``out = postgate * ifft(fft(pregate * u) * fft(k)).real`` — but u, k and
+    the gates live sharded along their last axis and no device ever
+    materializes the full sequence. Fully differentiable (the all_to_all
+    transposes are their own adjoints up to index reversal, handled by AD).
+
+    Args:
+      u: (..., H, N) real input; sharded (or shardable) along the last axis.
+      k: (H, N) real kernel, full length (pad shorter kernels before
+        sharding — padding is position-dependent, so it is the caller's
+        side of the contract here, unlike the single-chip path).
+      mesh: mesh whose `axis` axis (size P) carries the sequence. N % P == 0,
+        N/P a power of two >= 16, and (N/P) % P == 0.
+      pregate/postgate: optional (..., H, N) gates, sharded like u.
+
+    Returns:
+      (..., H, N) real conv output, sharded like u.
+    """
+    n = u.shape[-1]
+    p = mesh.shape[axis]
+    if k.shape[-1] != n:
+        raise ValueError(f"kernel length {k.shape[-1]} != seqlen {n}; pad first")
+    if n % p != 0 or (n // p) % p != 0:
+        raise ValueError(f"seqlen {n} not tileable over {p} devices")
+    n2 = n // p
+    if n2 & (n2 - 1) or n2 < 16:
+        raise ValueError(f"per-device length {n2} must be a power of two >= 16")
+    q = n2 // p
+    plan2 = make_plan(n2, compute_dtype=compute_dtype)
+    w_re, w_im, wi_re, wi_im = _outer_dft_matrices(p)
+    out_dtype = u.dtype
+
+    def local(u_loc, k_loc, pre_loc, post_loc):
+        e = lax.axis_index(axis)
+        if pre_loc is not None:
+            u_loc = u_loc * pre_loc
+        xs = _scatter(u_loc.astype(jnp.float32), axis, p)  # (..., P=n1, Q)
+        are, aim = _outer_mm(w_re, w_im, xs, None)  # DFT across chunks
+        tre, tim = _twiddle(p, q, n, e, conj=False)
+        are, aim = _cmul(are, aim, tre, tim)
+        bre, bim = _gather(are, axis), _gather(aim, axis)  # band m1=e, full N2
+
+        kf_re, kf_im = _band_spectrum(k_loc, plan2, axis, p, q, n, e, w_re, w_im)
+        xf_re, xf_im = monarch_dft(plan2, bre, bim)
+        yf_re = xf_re * kf_re - xf_im * kf_im
+        yf_im = xf_re * kf_im + xf_im * kf_re
+        dre, dim = monarch_idft(plan2, yf_re, yf_im)  # 1/N2 folded in
+
+        dre, dim = _scatter(dre, axis, p), _scatter(dim, axis, p)  # (..., P=m1, Q)
+        cre, cim = _twiddle(p, q, n, e, conj=True)
+        dre, dim = _cmul(dre, dim, cre, cim)
+        fre, _ = _outer_mm(wi_re, wi_im, dre, dim)  # IDFT across bands (+1/P);
+        # the imaginary output is ~0 for real input — dropped before the
+        # gather, saving one all_to_all.
+        out = _gather(fre, axis)  # chunk n1=e of y
+        if post_loc is not None:
+            out = out * post_loc.astype(jnp.float32)
+        return out.astype(out_dtype)
+
+    nb = u.ndim - 1
+    seq_spec = P(*([None] * nb), axis)
+    k_spec = P(*([None] * (k.ndim - 1)), axis)
+    in_specs = (seq_spec, k_spec, seq_spec if pregate is not None else P(),
+                seq_spec if postgate is not None else P())
+
+    def wrapped(u_, k_, pre_, post_):
+        return local(
+            u_, k_,
+            pre_ if pregate is not None else None,
+            post_ if postgate is not None else None,
+        )
+
+    fn = jax.shard_map(
+        wrapped, mesh=mesh, in_specs=in_specs, out_specs=seq_spec
+    )
+    zero = jnp.zeros((), u.dtype)
+    return fn(
+        u, k,
+        pregate if pregate is not None else zero,
+        postgate if postgate is not None else zero,
+    )
