@@ -74,10 +74,16 @@ def timeit(f, *args, iters=None, warmup=2):
     if iters is None:
         est = loop(3)
         iters = max(10, min(200, int(2.0 / max(est, 1e-4))))
-    t_half = loop(max(iters // 2, 1))
-    t_full = loop(iters)
-    # subtract the per-loop fixed sync cost (never below the raw average/2)
-    return max(2 * t_full - t_half, t_full / 2)
+    # Min of three two-point fits: the chip behind the relay is shared, so a
+    # single fit can eat a tenant-contention spike; the minimum estimates the
+    # uncontended time (same estimator as utils/benchmarking.py).
+    fits = []
+    for _ in range(3):
+        t_half = loop(max(iters // 2, 1))
+        t_full = loop(iters)
+        # subtract the per-loop fixed sync cost (never below the average/2)
+        fits.append(max(2 * t_full - t_half, t_full / 2))
+    return min(fits)
 
 
 def main():
