@@ -11,9 +11,10 @@ from flashfftconv_tpu.parallel.mesh import (
     zero1_shardings,
     zero2_shardings,
 )
-from flashfftconv_tpu.parallel.seq_conv import seq_fft_conv
+from flashfftconv_tpu.parallel.seq_conv import seq_fft_conv, seq_fft_conv_padded
 
 __all__ = [
+    "seq_fft_conv_padded",
     "batch_sharding",
     "make_mesh",
     "param_shardings",

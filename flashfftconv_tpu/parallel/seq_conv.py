@@ -214,3 +214,49 @@ def seq_fft_conv(
         pregate if pregate is not None else zero,
         postgate if postgate is not None else zero,
     )
+
+
+def seq_fft_conv_padded(
+    u: jax.Array,
+    k: jax.Array,
+    mesh: Mesh,
+    seqlen: int | None = None,
+    axis: str = "sp",
+    pregate: jax.Array | None = None,
+    postgate: jax.Array | None = None,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Linear (causal) conv at L < N via zero-padding, sequence-sharded.
+
+    The single-chip kernels zero-pad implicitly inside the kernel
+    (`fft_conv(plan, u, k)` with L <= N); here the pad is an explicit GSPMD
+    `jnp.pad` on the sharded global array — XLA inserts the resharding so the
+    padded tail lands as zero chunks on the trailing devices — followed by the
+    circular `seq_fft_conv` at size N and a truncation back to L. This is what
+    a long-conv/Hyena layer calls to train at sequence lengths no single chip
+    can hold.
+
+    Args:
+      u: (..., H, L) real input. seqlen defaults to 2L (the model-layer
+        convention for making the circular conv linear).
+      k: (H, k_len) real kernel, k_len <= seqlen.
+    """
+    length = u.shape[-1]
+    n = seqlen or 2 * length
+    if length > n:
+        raise ValueError(f"input length {length} > seqlen {n}")
+
+    def padded(x):
+        if x is None or x.shape[-1] == n:
+            return x
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
+
+    # Gates act on the original L samples only; padding them with zeros
+    # matches the single-chip semantics (out beyond L is discarded anyway,
+    # and pregate*0-pad keeps the padded region zero).
+    out = seq_fft_conv(
+        padded(u), padded(k), mesh, axis=axis,
+        pregate=padded(pregate), postgate=padded(postgate),
+        compute_dtype=compute_dtype,
+    )
+    return out[..., :length]

@@ -286,3 +286,25 @@ class TestSeqShardedConv:
         gu_r, gk_r = jax.grad(loss_ref, argnums=(0, 1))(u, k)
         np.testing.assert_allclose(np.asarray(gu), np.asarray(gu_r), atol=1e-5)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_r), atol=1e-5)
+
+    def test_padded_causal(self, rng):
+        """seq_fft_conv_padded matches the single-chip L<N implicit-pad conv
+        (the model-layer causal pattern) including gates."""
+        from flashfftconv_tpu.parallel.seq_conv import seq_fft_conv_padded
+
+        mesh, u, k = self._setup(rng, n=2048)
+        b, h, l = u.shape
+        plan = make_plan(2 * l, compute_dtype=jnp.float32)
+        pre = jnp.asarray(rng.standard_normal((b, h, l)).astype(np.float32))
+        post = jnp.asarray(rng.standard_normal((b, h, l)).astype(np.float32))
+        y_ref = fft_conv(plan, u, k, pre, post, impl="xla")
+        with mesh:
+            y = jax.jit(
+                lambda u, k, pre, post: seq_fft_conv_padded(
+                    u, k, mesh, axis="sp", pregate=pre, postgate=post,
+                    compute_dtype=jnp.float32,
+                )
+            )(u, k, pre, post)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), atol=1e-4
+        )
