@@ -37,13 +37,18 @@ class LongConv(nn.Module):
     kernel_dropout: float = 0.0
     conv_dtype: Any = jnp.bfloat16
     impl: str = "auto"
+    # Sequence-sharded (context-parallel) conv: set seq_mesh to a Mesh whose
+    # seq_axis axis carries the sequence and the layer trains at lengths no
+    # single chip can hold (parallel/seq_conv.py) — beyond the reference,
+    # whose conv is strictly single-device.
+    seq_mesh: Any = None
+    seq_axis: str = "sp"
 
     @nn.compact
     def __call__(self, u, deterministic: bool = True):
         # u: (B, H, L)
         length = u.shape[-1]
         seqlen = 2 * self.l_max
-        plan = get_plan(seqlen, jnp.dtype(self.conv_dtype).name)
 
         kernel = self.param(
             "kernel",
@@ -57,7 +62,16 @@ class LongConv(nn.Module):
         if self.kernel_dropout > 0:
             k = nn.Dropout(rate=self.kernel_dropout)(k, deterministic=deterministic)
 
-        conv = lambda u, k: dispatch.fft_conv(plan, u, k, impl=self.impl)
+        if self.seq_mesh is not None:
+            from flashfftconv_tpu.parallel.seq_conv import seq_fft_conv_padded
+
+            conv = lambda u, k: seq_fft_conv_padded(
+                u, k, self.seq_mesh, seqlen=seqlen, axis=self.seq_axis,
+                compute_dtype=self.conv_dtype,
+            )
+        else:
+            plan = get_plan(seqlen, jnp.dtype(self.conv_dtype).name)
+            conv = lambda u, k: dispatch.fft_conv(plan, u, k, impl=self.impl)
         y = jax.checkpoint(conv)(u, k[0])  # channels == 1 path, like the reference
         y = y[:, None]  # (B, 1, H, L)
 
@@ -91,6 +105,8 @@ class LongConvModel(nn.Module):
     l_max: int = 1024
     conv_dtype: Any = jnp.bfloat16
     impl: str = "auto"
+    seq_mesh: Any = None
+    seq_axis: str = "sp"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -114,6 +130,8 @@ class LongConvModel(nn.Module):
                 kernel_dropout=self.kernel_dropout,
                 conv_dtype=self.conv_dtype,
                 impl=self.impl,
+                seq_mesh=self.seq_mesh,
+                seq_axis=self.seq_axis,
                 name=f"layer_{i}",
             )(z, deterministic=deterministic)
             z = nn.Dropout(rate=self.dropout)(z, deterministic=deterministic)

@@ -308,3 +308,56 @@ class TestSeqShardedConv:
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(y_ref), atol=1e-4
         )
+
+    def test_long_conv_model_seq_sharded(self, rng):
+        """A full LongConvModel trains with the sequence sharded across the
+        mesh: forward and one optimizer step match the single-device model
+        bit-for-tolerance — context-parallel training of the conv mixer."""
+        from flashfftconv_tpu.models.long_conv import LongConvModel
+        from flashfftconv_tpu.utils.optim import make_optimizer
+        from flashfftconv_tpu.utils.train import create_train_state, make_train_step
+
+        mesh = make_mesh((1, 8), ("dp", "sp"))
+        b, l, d_in = 2, 1024, 3
+        x = jnp.asarray(rng.standard_normal((b, l, d_in)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, 10, size=(b,)).astype(np.int32))
+
+        def build(seq_mesh):
+            return LongConvModel(
+                d_input=d_in, d_output=10, d_model=32, n_layers=2,
+                dropout=0.0, l_max=l, conv_dtype=jnp.float32, impl="xla",
+                seq_mesh=seq_mesh,
+            )
+
+        ref_model, sp_model = build(None), build(mesh)
+        params = ref_model.init(jax.random.PRNGKey(0), x)["params"]
+
+        logits_ref = ref_model.apply(
+            {"params": params}, x, deterministic=True
+        )
+        x_sh = jax.device_put(x, NamedSharding(mesh, P(None, "sp", None)))
+        with mesh:
+            logits_sp = jax.jit(
+                lambda p, x: sp_model.apply({"params": p}, x, deterministic=True)
+            )(params, x_sh)
+        np.testing.assert_allclose(
+            np.asarray(logits_sp), np.asarray(logits_ref), atol=2e-4
+        )
+
+        tx = make_optimizer(params, lr=1e-3, special_lr=1e-3)
+        rng_key = jax.random.PRNGKey(1)
+        state_ref = create_train_state(params, tx)
+        state_sp = create_train_state(params, tx)
+        step_ref = make_train_step(ref_model.apply, tx)
+        step_sp = make_train_step(sp_model.apply, tx)
+        new_ref, m_ref = jax.jit(step_ref)(state_ref, (x, y), rng_key)
+        with mesh:
+            new_sp, m_sp = jax.jit(step_sp)(state_sp, (x_sh, y), rng_key)
+        np.testing.assert_allclose(
+            float(m_sp["loss"]), float(m_ref["loss"]), atol=1e-5
+        )
+        w_ref = new_ref.params["layer_0"]["kernel"]
+        w_sp = new_sp.params["layer_0"]["kernel"]
+        np.testing.assert_allclose(
+            np.asarray(w_sp), np.asarray(w_ref), atol=1e-6
+        )
