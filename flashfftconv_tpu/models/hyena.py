@@ -27,11 +27,14 @@ from flashfftconv_tpu.ops.plan import get_plan
 
 class ShortDepthwiseConv(nn.Module):
     """Learnable short depthwise conv (BHL), the flax analog of wrapping
-    nn.Conv1d weights in FlashDepthWiseConv1d (hyena-flashfft.py:295-306)."""
+    nn.Conv1d weights in FlashDepthWiseConv1d (hyena-flashfft.py:295-306).
+    impl forwards to depthwise_conv1d ('xla' under sequence sharding, where
+    GSPMD's conv halo exchange beats gathering for a pallas_call)."""
 
     channels: int
     kernel_size: int = 3
     padding: int = 1
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):  # x: (B, D, L)
@@ -41,7 +44,9 @@ class ShortDepthwiseConv(nn.Module):
             (self.channels, self.kernel_size),
         )
         b = self.param("bias", nn.initializers.zeros, (self.channels,))
-        return depthwise_conv1d(x, w, b, padding=self.padding, is_bhl=True)
+        return depthwise_conv1d(
+            x, w, b, padding=self.padding, is_bhl=True, impl=self.impl
+        )
 
 
 class HyenaOperator(nn.Module):
@@ -62,6 +67,11 @@ class HyenaOperator(nn.Module):
     # (hyenadna_standalone.py:254); the Hyena-LM reference folds it into the
     # matmul without bias. Enable for checkpoint-import parity with HyenaDNA.
     in_proj_bias: bool = False
+    # Sequence-sharded (context-parallel) mode: set seq_mesh to a Mesh whose
+    # seq_axis carries the sequence (parallel/seq_conv.py) and the operator
+    # trains at lengths no single chip can hold.
+    seq_mesh: Any = None
+    seq_axis: str = "sp"
 
     @nn.compact
     def __call__(self, u, deterministic: bool = True):
@@ -69,8 +79,16 @@ class HyenaOperator(nn.Module):
         b, l, d = u.shape
         l_filter = min(l, self.l_max)
         seqlen = 2 * self.l_max  # causal conv: FFT at 2x length
-        plan = get_plan(seqlen, jnp.dtype(self.conv_dtype).name)
-        conv = lambda x, k: dispatch.fft_conv(plan, x, k, impl=self.impl)
+        if self.seq_mesh is not None:
+            from flashfftconv_tpu.parallel.seq_conv import seq_fft_conv_padded
+
+            conv = lambda x, k: seq_fft_conv_padded(
+                x, k, self.seq_mesh, seqlen=seqlen, axis=self.seq_axis,
+                compute_dtype=self.conv_dtype,
+            )
+        else:
+            plan = get_plan(seqlen, jnp.dtype(self.conv_dtype).name)
+            conv = lambda x, k: dispatch.fft_conv(plan, x, k, impl=self.impl)
 
         inner = (self.order + 1) * self.d_model
         u = jnp.swapaxes(u, -1, -2)  # (B, D, L)
@@ -86,6 +104,7 @@ class HyenaOperator(nn.Module):
 
         x = ShortDepthwiseConv(
             inner, self.short_filter_order, padding=self.short_filter_order // 2,
+            impl="xla" if self.seq_mesh is not None else "auto",
             name="short_filter",
         )(x)[..., :l]
 

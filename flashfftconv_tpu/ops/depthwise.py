@@ -453,6 +453,7 @@ def depthwise_conv1d(
     bias: jax.Array | None = None,
     padding: int = 0,
     is_bhl: bool = True,
+    impl: str = "auto",
 ) -> jax.Array:
     """Depthwise conv1d matching the reference ``conv1d_forward`` semantics.
 
@@ -461,6 +462,10 @@ def depthwise_conv1d(
       weights: (D, K) if is_bhl else (K, D).
       bias: (D,) or None.
       padding: symmetric zero padding; output length L + 2*padding - K + 1.
+      impl: 'auto' (Pallas when the shape qualifies), 'pallas', or 'xla'
+        (grouped lax.conv — the right choice under GSPMD sequence sharding,
+        where XLA inserts the halo exchange; a pallas_call would force a
+        full gather instead).
     """
     if is_bhl:
         d, k = weights.shape
@@ -473,7 +478,14 @@ def depthwise_conv1d(
     _check(weights, bias, k)
     out_dtype = x.dtype
 
-    if x.ndim == 3 and _pallas_ok(x, d, l, padding, k, is_bhl):
+    if impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown impl {impl!r}")
+    use_pallas = (
+        impl != "xla" and x.ndim == 3 and _pallas_ok(x, d, l, padding, k, is_bhl)
+    )
+    if impl == "pallas" and not use_pallas:
+        raise ValueError("shape does not qualify for the Pallas depthwise path")
+    if use_pallas:
         return _dw_conv(x, w_kd, bias, padding, is_bhl, out_dtype)
     return _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype)
 
