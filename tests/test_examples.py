@@ -71,6 +71,19 @@ def test_lra_listops_example(tmp_path):
 
 
 @pytest.mark.slow
+def test_seq_parallel_example():
+    env = {**ENV, "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    r = subprocess.run(
+        [sys.executable, "examples/seq_parallel/train_ultra_long.py",
+         "--l-max", "2048", "--steps", "2", "--d_model", "16",
+         "--n_layers", "1"],
+        cwd=ROOT, env=env, timeout=600, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "final loss" in r.stdout
+
+
+@pytest.mark.slow
 def test_hyena_dna_example():
     r = _run(
         ["examples/hyena_dna/train.py", "--steps", "2", "--d_model", "32",
