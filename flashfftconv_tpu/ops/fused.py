@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def dense_bias_gelu(x, w, b):
@@ -75,3 +76,66 @@ def cross_entropy_loss(logits, labels, ignore_index: int = -100,
         nll = (1 - label_smoothing) * nll + label_smoothing * smooth
     mask = (labels != ignore_index).astype(jnp.float32)
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def vocab_parallel_cross_entropy(
+    logits,
+    labels,
+    mesh,
+    axis: str = "tp",
+    ignore_index: int = -100,
+    label_smoothing: float = 0.0,
+):
+    """Cross entropy over vocab-sharded logits WITHOUT gathering the vocab —
+    the reference's TP-aware xentropy kernel
+    (csrc/xentropy, tests/losses/test_cross_entropy_parallel.py): each device
+    holds logits (..., V/P) for its vocab slice; the log-sum-exp and the
+    target logit are assembled with one psum each (the max shift is a pmax of
+    scalars). Peak memory stays O(V/P) per device instead of the O(V)
+    all-gather a naive GSPMD matmul+softmax would insert.
+
+    Args:
+      logits: (..., V) global array, sharded (or shardable) over `axis` on
+        the last dim.
+      labels: (...) int labels in [0, V), replicated.
+      mesh: the device mesh; `axis` is its tensor-parallel axis.
+    """
+
+    def local(lg, lb):
+        p = lax.axis_size(axis)
+        vloc = lg.shape[-1]
+        off = lax.axis_index(axis) * vloc
+        lg = lg.astype(jnp.float32)
+        # Stability shift: mathematically cancels in lse, so stop_gradient
+        # keeps AD exact. all_gather of the P per-device scalar maxes rather
+        # than pmax — pmax has no JVP rule, all_gather does.
+        gmax = lax.stop_gradient(lax.all_gather(lg.max(-1), axis).max(0))
+        se = jnp.exp(lg - gmax[..., None]).sum(-1)
+        lse = jnp.log(lax.psum(se, axis)) + gmax
+        tgt = jnp.maximum(lb, 0)
+        in_range = (tgt >= off) & (tgt < off + vloc)
+        tl = jnp.take_along_axis(
+            lg, jnp.where(in_range, tgt - off, 0)[..., None], axis=-1
+        )[..., 0]
+        tgt_logit = lax.psum(jnp.where(in_range, tl, 0.0), axis)
+        nll = lse - tgt_logit
+        if label_smoothing > 0:
+            mean_logit = lax.psum(lg.sum(-1), axis) / (p * vloc)
+            smooth = lse - mean_logit
+            nll = (1 - label_smoothing) * nll + label_smoothing * smooth
+        mask = (lb != ignore_index).astype(jnp.float32)
+        val = (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        # val is already identical on every tp device (everything upstream is
+        # psum'd); the pmean just makes that replication explicit for the
+        # out_specs checker. Scalar, so the collective is free.
+        return lax.pmean(val, axis)
+
+    from jax.sharding import PartitionSpec as P
+
+    nb = logits.ndim - 1
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(*([None] * nb), axis), P(*([None] * labels.ndim))),
+        out_specs=P(),
+    )(logits, labels)

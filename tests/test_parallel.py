@@ -405,3 +405,38 @@ class TestSeqShardedConv:
                 np.asarray(flat_s[path]), np.asarray(leaf), atol=5e-4,
                 err_msg=str(path),
             )
+
+
+@needs_multi
+def test_vocab_parallel_cross_entropy(rng):
+    """TP-aware cross entropy over vocab-sharded logits (the reference's
+    csrc/xentropy + test_cross_entropy_parallel.py): loss and logits-grad
+    match the single-device op without ever gathering the vocab axis."""
+    from flashfftconv_tpu.ops.fused import (
+        cross_entropy_loss,
+        vocab_parallel_cross_entropy,
+    )
+
+    mesh = make_mesh((1, 8), ("dp", "tp"))
+    b, l, v = 2, 8, 128
+    logits = jnp.asarray(rng.standard_normal((b, l, v)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, v, size=(b, l)).astype(np.int32))
+    labels = labels.at[0, 0].set(-100)  # exercise ignore_index
+
+    for smooth in (0.0, 0.1):
+        ref = cross_entropy_loss(logits, labels, label_smoothing=smooth)
+        with mesh:
+            par = jax.jit(
+                lambda lg, lb: vocab_parallel_cross_entropy(
+                    lg, lb, mesh, axis="tp", label_smoothing=smooth
+                )
+            )(logits, labels)
+        np.testing.assert_allclose(float(par), float(ref), atol=1e-6)
+
+    def loss_par(lg):
+        with mesh:
+            return vocab_parallel_cross_entropy(lg, labels, mesh, axis="tp")
+
+    g_par = jax.grad(loss_par)(logits)
+    g_ref = jax.grad(lambda lg: cross_entropy_loss(lg, labels))(logits)
+    np.testing.assert_allclose(np.asarray(g_par), np.asarray(g_ref), atol=1e-6)
