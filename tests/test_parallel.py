@@ -440,3 +440,38 @@ def test_vocab_parallel_cross_entropy(rng):
     g_par = jax.grad(loss_par)(logits)
     g_ref = jax.grad(lambda lg: cross_entropy_loss(lg, labels))(logits)
     np.testing.assert_allclose(np.asarray(g_par), np.asarray(g_ref), atol=1e-6)
+
+
+@needs_multi
+def test_conv_lm_seq_sharded(rng):
+    """ConvLMHeadModel accepts seq_mesh through mixer_kwargs: the full LM
+    (embeddings, Hyena blocks, MLPs, tied head) runs with the sequence
+    sharded; logits match the single-device model."""
+    from flashfftconv_tpu.models.lm import ConvLMHeadModel
+
+    mesh = make_mesh((1, 8), ("dp", "sp"))
+    b, l, vocab = 2, 512, 32
+    ids = jnp.asarray(rng.integers(0, vocab, size=(b, l)).astype(np.int32))
+
+    def build(seq_mesh):
+        return ConvLMHeadModel(
+            vocab_size=vocab, d_model=16, n_layer=1, d_inner=32, l_max=l,
+            dtype=jnp.float32,
+            mixer="hyena",
+            mixer_kwargs={
+                "conv_dtype": jnp.float32, "impl": "xla",
+                "filter_order": 16, "seq_mesh": seq_mesh,
+            },
+        )
+
+    ref_lm, sp_lm = build(None), build(mesh)
+    params = ref_lm.init(jax.random.PRNGKey(0), ids)["params"]
+    logits_ref = ref_lm.apply({"params": params}, ids)
+    ids_sh = jax.device_put(ids, NamedSharding(mesh, P(None, "sp")))
+    with mesh:
+        logits_sp = jax.jit(
+            lambda p, i: sp_lm.apply({"params": p}, i)
+        )(params, ids_sh)
+    np.testing.assert_allclose(
+        np.asarray(logits_sp), np.asarray(logits_ref), atol=5e-4
+    )
