@@ -475,3 +475,24 @@ def test_conv_lm_seq_sharded(rng):
     np.testing.assert_allclose(
         np.asarray(logits_sp), np.asarray(logits_ref), atol=5e-4
     )
+
+
+@needs_multi
+def test_seq_conv_p4_and_short_kernel(rng):
+    """seq conv on a 4-wide axis (devices left over for dp) and a kernel
+    shorter than the padded FFT size, vs the single-chip implicit-pad conv."""
+    from flashfftconv_tpu.parallel.seq_conv import seq_fft_conv_padded
+
+    mesh = make_mesh((2, 4), ("dp", "sp"))
+    b, h, l, k_len = 2, 3, 512, 200
+    u = jnp.asarray(rng.standard_normal((b, h, l)).astype(np.float32) * 0.02)
+    k = jnp.asarray(rng.standard_normal((h, k_len)).astype(np.float32) * 0.02)
+    plan = make_plan(2 * l, compute_dtype=jnp.float32)
+    y_ref = fft_conv(plan, u, k, impl="xla")
+    with mesh:
+        y = jax.jit(
+            lambda u, k: seq_fft_conv_padded(
+                u, k, mesh, axis="sp", compute_dtype=jnp.float32
+            )
+        )(u, k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
