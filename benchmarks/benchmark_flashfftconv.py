@@ -25,8 +25,14 @@ from flashfftconv_tpu import FlashFFTConv, fft_conv_reference
 from flashfftconv_tpu.utils.benchmarking import (
     benchmark_backward,
     benchmark_forward,
+    benchmark_forward_amortized,
     benchmark_memory,
 )
+
+# Below this size the per-jit-call dispatch cost (fixed ~ms through the axon
+# relay) rivals the kernel itself; also record the scan-amortized per-call
+# time, which is the number a training step actually pays (many convs per jit).
+AMORTIZE_BELOW = 65536
 
 ALL_SIZES = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
              65536, 131072, 262144, 524288, 1048576, 2097152, 4194304]
@@ -99,6 +105,11 @@ def main():
 
                 row = {"seqlen": n, "func": name, "B": b, "H": h}
                 row["fwd_ms"] = benchmark_forward(fwd, *fargs, repeats=args.repeats) * adjustment
+                if n < AMORTIZE_BELOW:
+                    row["fwd_amort_ms"] = (
+                        benchmark_forward_amortized(fwd, *fargs, repeats=args.repeats)
+                        * adjustment
+                    )
                 if not args.fwd_only:
                     row["fwd_bwd_ms"] = (
                         benchmark_backward(fwd, *fargs, argnums=argnums, repeats=args.repeats)
@@ -115,6 +126,14 @@ def main():
                         benchmark_forward(ref, *fargs, repeats=args.repeats) * adjustment
                     )
                     row["speedup"] = row["ref_fwd_ms"] / row["fwd_ms"]
+                    if n < AMORTIZE_BELOW:
+                        row["ref_fwd_amort_ms"] = (
+                            benchmark_forward_amortized(ref, *fargs, repeats=args.repeats)
+                            * adjustment
+                        )
+                        row["speedup_amort"] = (
+                            row["ref_fwd_amort_ms"] / row["fwd_amort_ms"]
+                        )
                     if not args.fwd_only:
                         row["ref_mem_mb"] = benchmark_memory(ref, *fargs)
                 rows.append(row)

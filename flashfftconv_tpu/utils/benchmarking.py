@@ -75,6 +75,39 @@ def benchmark_forward(fn: Callable, *args, repeats: int = 10, warmup: int = 3,
     return best
 
 
+def benchmark_forward_amortized(fn: Callable, *args, length: int = 16,
+                                repeats: int = 10, warmup: int = 2,
+                                desc: str = "", verbose: bool = False):
+    """Per-call wall-clock of fn in ms with host dispatch amortized away:
+    `length` serially-dependent applications are chained inside ONE jit via
+    lax.scan (each iteration's output feeds the next input, so nothing can
+    be elided or overlapped), and the loop time is divided by `length`.
+
+    benchmark_forward measures the per-dispatch cost a user pays issuing one
+    conv per jit call — through the axon relay that includes a fixed ~ms
+    host->device dispatch per call, which dominates short kernels (N<=2K).
+    This measures the device-side compute a user pays when the conv sits
+    inside a larger jitted step (the training-loop regime, where every model
+    invokes the conv dozens of times per step). Both are honest; they answer
+    different questions."""
+    first = args[0]
+
+    def body(c, _):
+        out = fn(c, *args[1:])
+        return out.astype(first.dtype).reshape(first.shape), None
+
+    def scanned(u, *rest):
+        c, _ = jax.lax.scan(lambda c, x: body(c, x), u, None, length=length)
+        return c
+
+    t = benchmark_forward(scanned, *args, repeats=repeats, warmup=warmup,
+                          desc=desc, verbose=False)
+    per_call = t / length
+    if verbose:
+        print(f"{desc}: {per_call:.3f} ms/call (x{length} scan)")
+    return per_call
+
+
 def benchmark_backward(fn: Callable, *args, argnums=(0,), repeats: int = 10,
                        warmup: int = 3, desc: str = "", verbose: bool = False):
     """Median wall-clock of grad(sum(fn))(args) in ms (fwd+bwd)."""
