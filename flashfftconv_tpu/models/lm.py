@@ -59,7 +59,11 @@ class Mlp(nn.Module):
 
 class Block(nn.Module):
     """Pre-norm block: LN -> mixer -> dropout -> +res; LN -> MLP -> dropout -> +res.
-    Residuals carried in f32 (the reference's residual_in_fp32)."""
+    Residuals carried in f32 (the reference's residual_in_fp32).
+
+    `moe_kwargs` (e.g. {"n_experts": 8, "top_k": 2, "ep_axis": "ep"}) swaps
+    the dense MLP for a mixture-of-experts FFN (models.moe.MoEMlp) — a
+    capability beyond the reference, which has no MoE/expert parallelism."""
 
     d_model: int
     d_inner: int
@@ -67,6 +71,7 @@ class Block(nn.Module):
     mixer_kwargs: dict | None = None
     resid_dropout: float = 0.0
     mlp_nblocks: int = 0
+    moe_kwargs: dict | None = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -80,7 +85,15 @@ class Block(nn.Module):
         res = res + h.astype(jnp.float32)
 
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(res).astype(dtype)
-        h = Mlp(self.d_inner, self.d_model, nblocks=self.mlp_nblocks, name="mlp")(h)
+        if self.moe_kwargs:
+            from flashfftconv_tpu.models.moe import MoEMlp
+
+            h = MoEMlp(
+                d_model=self.d_model, d_inner=self.d_inner,
+                **self.moe_kwargs, name="mlp",
+            )(h, deterministic=deterministic)
+        else:
+            h = Mlp(self.d_inner, self.d_model, nblocks=self.mlp_nblocks, name="mlp")(h)
         h = nn.Dropout(rate=self.resid_dropout)(h, deterministic=deterministic)
         res = res + h.astype(jnp.float32)
         return res.astype(dtype)
@@ -97,6 +110,7 @@ class LMBackbone(nn.Module):
     embed_dropout: float = 0.1
     resid_dropout: float = 0.0
     mlp_nblocks: int = 0
+    moe_kwargs: dict | None = None
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -117,6 +131,7 @@ class LMBackbone(nn.Module):
                 mixer_kwargs=mixer_kwargs,
                 resid_dropout=self.resid_dropout,
                 mlp_nblocks=self.mlp_nblocks,
+                moe_kwargs=self.moe_kwargs,
                 name=f"block_{i}",
             )(x, deterministic=deterministic)
         return nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
@@ -135,6 +150,7 @@ class ConvLMHeadModel(nn.Module):
     embed_dropout: float = 0.1
     resid_dropout: float = 0.0
     mlp_nblocks: int = 0
+    moe_kwargs: dict | None = None
     pad_vocab_size_multiple: int = 8
     dtype: Any = jnp.bfloat16
 
@@ -155,6 +171,7 @@ class ConvLMHeadModel(nn.Module):
             embed_dropout=self.embed_dropout,
             resid_dropout=self.resid_dropout,
             mlp_nblocks=self.mlp_nblocks,
+            moe_kwargs=self.moe_kwargs,
             dtype=self.dtype,
             name="backbone",
         )

@@ -496,3 +496,188 @@ def test_seq_conv_p4_and_short_kernel(rng):
             )
         )(u, k)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism (parallel/pipeline.py) — BEYOND the reference, which
+# has no pipeline parallelism anywhere (SURVEY.md §2.6).
+# ---------------------------------------------------------------------------
+
+
+@needs_multi
+class TestPipeline:
+    def _stages(self, rng, s, d):
+        ws = [jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.3)
+              for _ in range(s)]
+        bs = [jnp.asarray(rng.standard_normal((d,)).astype(np.float32) * 0.1)
+              for _ in range(s)]
+        from flashfftconv_tpu.parallel.pipeline import stack_stage_params
+
+        stacked = stack_stage_params(
+            [{"w": w, "b": b} for w, b in zip(ws, bs)]
+        )
+        fn = lambda p, x: jnp.tanh(x @ p["w"] + p["b"])
+        return stacked, fn, ws, bs
+
+    def test_forward_and_grad_parity(self, rng):
+        from flashfftconv_tpu.parallel.pipeline import pipeline_apply
+
+        s, d = 4, 16
+        mesh = make_mesh((s,), ("pp",), devices=jax.devices()[:s])
+        stacked, fn, ws, bs = self._stages(rng, s, d)
+        x = jnp.asarray(rng.standard_normal((8, d)).astype(np.float32))
+        ref = x
+        for w, b in zip(ws, bs):
+            ref = jnp.tanh(ref @ w + b)
+        y = jax.jit(
+            lambda sp, x: pipeline_apply(fn, sp, x, mesh, num_microbatches=4)
+        )(stacked, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-6)
+
+        def loss_pipe(sp, x):
+            return jnp.sum(pipeline_apply(fn, sp, x, mesh) ** 2)
+
+        def loss_seq(sp, x):
+            h = x
+            for i in range(s):
+                h = fn(jax.tree.map(lambda a: a[i], sp), h)
+            return jnp.sum(h ** 2)
+
+        g1 = jax.jit(jax.grad(loss_pipe))(stacked, x)
+        g2 = jax.jit(jax.grad(loss_seq))(stacked, x)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_dp_pp_composition(self, rng):
+        """Each dp group pipelines its own batch shard; result matches the
+        unsharded sequential stack exactly."""
+        from flashfftconv_tpu.parallel.pipeline import pipeline_apply
+
+        s, d = 4, 16
+        mesh = make_mesh((2, s), ("dp", "pp"))
+        stacked, fn, ws, bs = self._stages(rng, s, d)
+        x = jnp.asarray(rng.standard_normal((8, d)).astype(np.float32))
+        ref = x
+        for w, b in zip(ws, bs):
+            ref = jnp.tanh(ref @ w + b)
+        y = jax.jit(
+            lambda sp, x: pipeline_apply(
+                fn, sp, x, mesh, batch_axis="dp", num_microbatches=2
+            )
+        )(stacked, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-6)
+
+    def test_lm_blocks_pipelined(self, rng):
+        """Real LM blocks (hyena mixer + FFT conv) as pipeline stages: the
+        residual-stream segment of ConvLMHeadModel distributed over pp=4."""
+        from flashfftconv_tpu.models.lm import Block
+        from flashfftconv_tpu.parallel.pipeline import (
+            pipeline_apply,
+            stack_stage_params,
+        )
+
+        s, b, l, d = 4, 4, 64, 16
+        mesh = make_mesh((s,), ("pp",), devices=jax.devices()[:s])
+        block = Block(
+            d_model=d, d_inner=2 * d, mixer="hyena",
+            mixer_kwargs={"l_max": l, "impl": "xla",
+                          "conv_dtype": jnp.float32},
+        )
+        x = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+        keys = jax.random.split(jax.random.PRNGKey(0), s)
+        stage_trees = [block.init(keys[i], x)["params"] for i in range(s)]
+        stacked = stack_stage_params(stage_trees)
+
+        def stage_fn(p, h):
+            return block.apply({"params": p}, h, deterministic=True)
+
+        ref = x
+        for p in stage_trees:
+            ref = stage_fn(p, ref)
+        y = jax.jit(
+            lambda sp, x: pipeline_apply(stage_fn, sp, x, mesh)
+        )(stacked, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Mixture-of-Experts + expert parallelism (models/moe.py) — BEYOND the
+# reference, which has no MoE/expert parallelism (SURVEY.md §2.6).
+# ---------------------------------------------------------------------------
+
+
+@needs_multi
+class TestExpertParallel:
+    def test_ep_sharded_matches_replicated(self, rng):
+        from flashfftconv_tpu.models.moe import MoEMlp, moe_param_shardings
+
+        b, l, d, f, e = 2, 16, 8, 32, 4
+        x = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+        mesh = make_mesh((2, 4), ("dp", "ep"))
+        m = MoEMlp(d_model=d, d_inner=f, n_experts=e, top_k=2,
+                   capacity_factor=8.0, ep_axis="ep")
+        variables = m.init(jax.random.PRNGKey(0), x)
+        sh = moe_param_shardings(mesh, variables["params"])
+        specs = {
+            jax.tree_util.keystr(p): s.spec
+            for p, s in jax.tree_util.tree_flatten_with_path(sh)[0]
+        }
+        assert specs["['w1']"] == P("ep", None, None)
+        assert specs["['gate']['kernel']"] == P()
+        params_sh = jax.device_put(variables["params"], sh)
+        with jax.sharding.set_mesh(mesh):
+            y_ep = jax.jit(lambda p, x: m.apply({"params": p}, x))(params_sh, x)
+        y_ref = m.apply(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(y_ep), np.asarray(y_ref), atol=1e-6
+        )
+
+    def test_moe_lm_train_step_dp_ep(self, rng):
+        """ConvLMHeadModel with an MoE FFN trains one step on a dp x ep mesh
+        with expert weights sharded: loss finite, grads flow to experts."""
+        import optax
+
+        from flashfftconv_tpu.models.lm import ConvLMHeadModel
+        from flashfftconv_tpu.models.moe import moe_param_shardings
+
+        mesh = make_mesh((2, 4), ("dp", "ep"))
+        model = ConvLMHeadModel(
+            d_model=16, n_layer=2, d_inner=32, vocab_size=32, l_max=32,
+            mixer="hyena",
+            mixer_kwargs={"impl": "xla", "conv_dtype": jnp.float32},
+            moe_kwargs={"n_experts": 4, "top_k": 1, "ep_axis": "ep"},
+            dtype=jnp.float32,
+        )
+        ids = jnp.asarray(rng.integers(0, 32, (4, 32)), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)["params"]
+        sh = moe_param_shardings(mesh, params)
+        params = jax.device_put(params, sh)
+        ids = jax.device_put(ids, batch_sharding(mesh, 2))
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        def loss_fn(p, ids):
+            logits = model.apply({"params": p}, ids)
+            tgt = jnp.roll(ids, -1, axis=-1)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits[:, :-1], tgt[:, :-1]
+            ).mean()
+
+        @jax.jit
+        def step(p, o, ids):
+            loss, g = jax.value_and_grad(loss_fn)(p, ids)
+            updates, o = tx.update(g, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        with jax.sharding.set_mesh(mesh):
+            new_params, opt_state, loss = step(params, opt_state, ids)
+            jax.block_until_ready(loss)
+        assert np.isfinite(float(loss))
+        # experts received gradient updates
+        old = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+        moved = any(
+            "w1" in jax.tree_util.keystr(p)
+            and not np.allclose(np.asarray(a), np.asarray(old[p]))
+            for p, a in jax.tree_util.tree_flatten_with_path(new_params)[0]
+        )
+        assert moved
