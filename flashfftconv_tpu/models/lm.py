@@ -28,11 +28,14 @@ def get_mixer_cls(name: str):
 
     from flashfftconv_tpu.models.attention import MHAOperator
 
+    from flashfftconv_tpu.models.long_conv import LongConvOperator
+
     return {
         "hyena": HyenaOperator,
         "m2": MonarchMixerSequenceMixing,
         "h3": H3Operator,
         "mha": MHAOperator,
+        "long-conv": LongConvOperator,
     }[name]
 
 

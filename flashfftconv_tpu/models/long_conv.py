@@ -144,3 +144,37 @@ class LongConvModel(nn.Module):
         x = jnp.swapaxes(x, -1, -2)  # (B, L, d_model)
         x = x.mean(axis=1)
         return nn.Dense(self.d_output, dtype=jnp.float32, name="decoder")(x)
+
+
+class LongConvOperator(nn.Module):
+    """LongConv as a (B, L, D) sequence mixer for lm.Block / SequenceModel.
+
+    Thin layout adapter around LongConv (which works channels-first like the
+    reference's flashfftconv_long_convs.py:31) so `mixer="long-conv"`
+    composes with the generic block/harness plumbing the same way hyena/h3/
+    m2/mha do."""
+
+    d_model: int
+    l_max: int
+    lam: float = 0.003
+    dropout: float = 0.0
+    conv_dtype: Any = jnp.bfloat16
+    impl: str = "auto"
+    seq_mesh: Any = None
+    seq_axis: str = "sp"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        u = jnp.swapaxes(x, -1, -2)  # (B, D, L)
+        y = LongConv(
+            h=self.d_model,
+            l_max=self.l_max,
+            dropout=self.dropout,
+            kernel_lam=self.lam,
+            conv_dtype=self.conv_dtype,
+            impl=self.impl,
+            seq_mesh=self.seq_mesh,
+            seq_axis=self.seq_axis,
+            name="conv",
+        )(u, deterministic=deterministic)
+        return jnp.swapaxes(y, -1, -2)

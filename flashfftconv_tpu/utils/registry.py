@@ -25,7 +25,25 @@ _REGISTRIES: dict[str, dict[str, str | Callable]] = {
         "long-conv-kernel": "flashfftconv_tpu.models.h3.LongConvKernel",
         "block-fft": "flashfftconv_tpu.models.ssm.BlockFFT",
     },
+    "encoder": {
+        "linear": "flashfftconv_tpu.models.sequence.LinearEncoder",
+        "embedding": "flashfftconv_tpu.models.sequence.EmbeddingEncoder",
+        "one-hot": "flashfftconv_tpu.models.sequence.OneHotEncoder",
+        "position": "flashfftconv_tpu.models.sequence.PositionalEncoder",
+        "patch2d": "flashfftconv_tpu.models.sequence.PatchEncoder",
+    },
+    "decoder": {
+        "sequence": "flashfftconv_tpu.models.sequence.SequenceDecoder",
+        "retrieval": "flashfftconv_tpu.models.sequence.RetrievalDecoder",
+    },
+    "pool": {
+        "avg": "flashfftconv_tpu.models.sequence.DownAvgPool",
+        "linear": "flashfftconv_tpu.models.sequence.DownLinearPool",
+        "up-linear": "flashfftconv_tpu.models.sequence.UpLinearPool",
+        "spectral": "flashfftconv_tpu.models.sequence.DownSpectralPool",
+    },
     "model": {
+        "sequence": "flashfftconv_tpu.models.sequence.SequenceModel",
         "lm": "flashfftconv_tpu.models.lm.ConvLMHeadModel",
         "lm-backbone": "flashfftconv_tpu.models.lm.LMBackbone",
         "long-conv-model": "flashfftconv_tpu.models.long_conv.LongConvModel",

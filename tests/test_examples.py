@@ -7,6 +7,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
@@ -68,6 +69,62 @@ def test_lra_listops_example(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "val acc" in r.stdout
+
+
+@pytest.mark.slow
+def test_lra_pathfinder_example(tmp_path):
+    r = _run(
+        ["examples/lra/train_pathfinder.py", "--epochs", "1", "--n-train",
+         "64", "--n-val", "32", "--batch_size", "32", "--d_model", "32",
+         "--n_layers", "1",
+         "--data-cache", str(tmp_path / "pathfinder.npz"),
+         "--ckpt-dir", str(tmp_path / "ckpt")]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "val acc" in r.stdout
+
+
+@pytest.mark.slow
+def test_lra_retrieval_example(tmp_path):
+    r = _run(
+        ["examples/lra/train_retrieval.py", "--epochs", "1", "--n-train",
+         "64", "--n-val", "32", "--batch_size", "16", "--l-max", "256",
+         "--d_model", "32", "--n_layers", "1",
+         "--data-cache", str(tmp_path / "retrieval.npz"),
+         "--ckpt-dir", str(tmp_path / "ckpt")]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "val acc" in r.stdout
+
+
+def test_pathfinder_generator_properties():
+    sys.path.insert(0, os.path.join(ROOT, "examples", "lra"))
+    from train_pathfinder import MARK_VAL, SIDE, build_dataset
+
+    x, y = build_dataset(16, seed=0)
+    assert x.shape == (16, SIDE * SIDE) and set(np.unique(y)) == {0, 1}
+    # every image has exactly two endpoint markers (3x3 bright blobs can
+    # merge if close; require at least one bright pixel and dashes)
+    for img in x:
+        assert (img == MARK_VAL).sum() >= 4          # markers present
+        assert ((img > 0) & (img < MARK_VAL)).sum() > 20  # dashes present
+    # classes must have matched marker-distance statistics (anti-shortcut):
+    # mean pixel mass should not separate the classes strongly
+    m0, m1 = x[y == 0].mean(), x[y == 1].mean()
+    assert abs(m0 - m1) / max(m0, m1) < 0.2
+
+
+def test_retrieval_generator_properties():
+    sys.path.insert(0, os.path.join(ROOT, "examples", "lra"))
+    from train_retrieval import VOCAB, build_dataset
+
+    x1, x2, y = build_dataset(8, l=128, seed=0)
+    assert x1.shape == x2.shape == (8, 128)
+    assert x1.max() < VOCAB and x1.min() >= 0
+    # positives must overlap with their pair far more than negatives
+    pos = (x1[y == 1] == x2[y == 1]).mean()
+    neg = (x1[y == 0] == x2[y == 0]).mean()
+    assert pos > neg + 0.2, (pos, neg)
 
 
 @pytest.mark.slow
