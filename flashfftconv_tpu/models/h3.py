@@ -25,7 +25,19 @@ from flashfftconv_tpu.ops.plan import get_plan
 
 class LongConvKernel(nn.Module):
     """Learnable long-conv kernel with squash operator
-    relu(|k| - lam) * sign(k) (long_conv_kernel.py:69-77)."""
+    relu(|k| - lam) * sign(k) (long_conv_kernel.py:69-77).
+
+    weight_init: "random" (randn*0.002) or "double_exp" (randn*0.02 scaled by
+    a per-(h, l) double-exponential decay, long_conv_kernel.py:58-66).
+    use_ma_smoothing: moving-average smoothing of the kernel before the
+    squash — time-domain (uniform window, the reference's AvgPool1d path) or
+    frequency-domain when smooth_freq=True (gaussian window correlated over
+    rfft bins, long_conv_kernel.py:70-76).
+    bandlimit: fraction (0, 1] of the kernel's rfft band to keep — the
+    progressive-resizing hook the reference callback sets on modules
+    (callbacks/progressive_resizing.py:85-94); frequencies above
+    bandlimit * n_bands are zeroed so low-resolution training stages see an
+    anti-aliased kernel."""
 
     h: int
     l_max: int
@@ -33,15 +45,50 @@ class LongConvKernel(nn.Module):
     lam: float = 0.1
     causal: bool = True
     kernel_dropout: float = 0.0
+    weight_init: str = "random"
+    use_ma_smoothing: bool = False
+    ma_window_len: int = 7
+    smooth_freq: bool = False
+    bandlimit: float | None = None
 
     @nn.compact
     def __call__(self, deterministic: bool = True):
         length = self.l_max if self.causal else 2 * self.l_max
-        k = self.param(
-            "kernel",
-            lambda key, shape: jax.random.normal(key, shape) * 0.002,
-            (self.channels, self.h, length),
-        )
+
+        def init(key, shape):
+            if self.weight_init == "random":
+                return jax.random.normal(key, shape) * 0.002
+            if self.weight_init == "double_exp":
+                k = jax.random.normal(key, shape) * 0.02
+                i = jnp.arange(self.h)[:, None] / self.h
+                j = jnp.arange(length)[None, :] / length
+                decay = jnp.exp(-j * (self.h / 2) ** i)  # (h, l)
+                return k * decay[None]
+            raise NotImplementedError(f"{self.weight_init} is not valid")
+
+        k = self.param("kernel", init, (self.channels, self.h, length))
+
+        if self.use_ma_smoothing:
+            if self.smooth_freq:
+                w = jnp.arange(self.ma_window_len, dtype=jnp.float32)
+                w = jnp.exp(-0.5 * jnp.abs(w - self.ma_window_len // 2) ** 2)
+                k_f = jnp.fft.rfft(k, axis=-1)
+                smooth = jax.vmap(lambda row: jnp.convolve(row, w.astype(row.dtype), mode="same"))
+                flat = k_f.reshape(-1, k_f.shape[-1])
+                k_f = smooth(flat).reshape(k_f.shape)
+                k = jnp.fft.irfft(k_f, n=length, axis=-1)
+            else:
+                assert self.ma_window_len % 2 != 0, "window size must be odd"
+                w = jnp.full((self.ma_window_len,), 1.0 / self.ma_window_len)
+                smooth = jax.vmap(lambda row: jnp.convolve(row, w, mode="same"))
+                k = smooth(k.reshape(-1, length)).reshape(k.shape)
+
+        if self.bandlimit is not None:
+            n_bands = length // 2 + 1
+            keep = jnp.arange(n_bands) < self.bandlimit * n_bands
+            k_f = jnp.fft.rfft(k, axis=-1) * keep
+            k = jnp.fft.irfft(k_f, n=length, axis=-1)
+
         k = nn.relu(jnp.abs(k) - self.lam) * jnp.sign(k)
         if self.kernel_dropout > 0:
             k = nn.Dropout(rate=self.kernel_dropout)(k, deterministic=deterministic)

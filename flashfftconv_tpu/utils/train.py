@@ -167,3 +167,64 @@ def latest_checkpoint(ckpt_dir: str, name: str = "last") -> str | None:
         if os.path.isdir(p):
             candidates.append((os.path.getmtime(p), p))
     return max(candidates)[1] if candidates else None
+
+
+class ProgressiveResizing:
+    """Sequence-resolution curriculum over training epochs.
+
+    TPU-native analog of the reference's ProgressiveResizing callback
+    (/root/reference/examples/hyena/src/callbacks/progressive_resizing.py):
+    train early epochs on subsampled (shorter) sequences, later epochs at
+    full resolution. stage_params is the same schema —
+    ``[{"resolution": 4, "epochs": 50}, {"resolution": 2, "epochs": 30},
+    {"resolution": 1, "epochs": 20}, ...]`` with optional per-stage
+    ``"bandlimit"`` (anti-alias the learned conv kernels, see
+    models.h3.LongConvKernel) and ``"lr_scale"`` (the reference's per-stage
+    scheduler override reduced to its useful core).
+
+    There is no Lightning trainer to mutate: the train loop asks
+    ``stage_of(epoch)`` each epoch, subsamples batches with
+    ``downsample(x)``, and rebuilds its jitted step when ``boundary(epoch)``
+    is True — a shape change means one fresh XLA compile per stage, which is
+    exactly how jit wants it. Resumption lands in the right stage because
+    stage_of is a pure function of the epoch (the reference's searchsorted
+    dance, progressive_resizing.py:47-48).
+    """
+
+    def __init__(self, stage_params: list[dict]):
+        assert stage_params, "No stages specified"
+        assert all({"resolution", "epochs"} <= set(s) for s in stage_params), \
+            "stage_params must contain keys: resolution and epochs"
+        self.stage_params = list(stage_params)
+        self._cume = []
+        tot = 0
+        for s in stage_params:
+            tot += s["epochs"]
+            self._cume.append(tot)
+        self.total_epochs = tot
+
+    def stage_of(self, epoch: int) -> int:
+        for i, hi in enumerate(self._cume):
+            if epoch < hi:
+                return i
+        return len(self.stage_params) - 1
+
+    def boundary(self, epoch: int) -> bool:
+        """True when `epoch` starts a new stage (recompile/rebuild point)."""
+        return epoch == 0 or any(epoch == hi for hi in self._cume[:-1])
+
+    def params_at(self, epoch: int) -> dict:
+        return self.stage_params[self.stage_of(epoch)]
+
+    def downsample(self, x, epoch: int):
+        """Subsample the sequence axis (axis 1 of (B, L, ...) or (B, L))
+        by the stage's resolution — the reference's train_resolution
+        dataloader knob."""
+        r = int(self.params_at(epoch)["resolution"])
+        return x if r == 1 else x[:, ::r]
+
+    def lr_scale(self, epoch: int) -> float:
+        return float(self.params_at(epoch).get("lr_scale", 1.0))
+
+    def bandlimit(self, epoch: int):
+        return self.params_at(epoch).get("bandlimit")

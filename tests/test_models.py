@@ -420,3 +420,117 @@ def test_lm_with_moe_ffn(rng):
         lambda p: jnp.sum(model.apply({"params": p}, ids) ** 2)
     )(params)
     assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g))
+
+
+def test_long_conv_kernel_variants():
+    """double_exp init, MA smoothing (time + freq), and bandlimit masking
+    (reference long_conv_kernel.py:39-77 + the progressive-resizing
+    bandlimit hook)."""
+    import jax
+
+    from flashfftconv_tpu.models.h3 import LongConvKernel
+
+    h, l = 4, 64
+    # double_exp init: kernel magnitude must decay along l for every channel
+    mod = LongConvKernel(h=h, l_max=l, weight_init="double_exp", lam=0.0)
+    k = mod.apply(mod.init(jax.random.PRNGKey(0)))
+    k = np.abs(np.asarray(k))[0]  # (h, l)
+    assert k[:, : l // 4].mean() > k[:, -l // 4 :].mean()
+
+    # time-domain MA smoothing: high-frequency energy must drop
+    raw = LongConvKernel(h=h, l_max=l, lam=0.0)
+    sm = LongConvKernel(h=h, l_max=l, lam=0.0, use_ma_smoothing=True)
+    p = raw.init(jax.random.PRNGKey(1))
+    k_raw, k_sm = np.asarray(raw.apply(p)), np.asarray(sm.apply(p))
+    hf = lambda x: np.abs(np.fft.rfft(x, axis=-1))[..., x.shape[-1] // 4 :].sum()
+    assert hf(k_sm) < hf(k_raw)
+    assert k_raw.shape == k_sm.shape
+
+    # freq-domain smoothing runs and keeps shape
+    smf = LongConvKernel(h=h, l_max=l, lam=0.0, use_ma_smoothing=True,
+                         smooth_freq=True)
+    assert np.asarray(smf.apply(p)).shape == k_raw.shape
+
+    # bandlimit: frequencies above the kept band are (numerically) zero
+    # before the squash; with lam=0 the squash is identity on magnitudes
+    bl = LongConvKernel(h=h, l_max=l, lam=0.0, bandlimit=0.25)
+    k_bl = np.asarray(bl.apply(p))
+    spec = np.abs(np.fft.rfft(k_bl, axis=-1))
+    n_bands = l // 2 + 1
+    cut = int(0.25 * n_bands)
+    assert spec[..., cut + 1 :].max() < 1e-5 * max(spec.max(), 1e-30)
+
+
+def test_progressive_resizing_schedule():
+    from flashfftconv_tpu.utils.train import ProgressiveResizing
+
+    pr = ProgressiveResizing([
+        {"resolution": 4, "epochs": 2, "bandlimit": 0.25, "lr_scale": 2.0},
+        {"resolution": 2, "epochs": 2},
+        {"resolution": 1, "epochs": 3},
+    ])
+    assert pr.total_epochs == 7
+    assert [pr.stage_of(e) for e in range(7)] == [0, 0, 1, 1, 2, 2, 2]
+    assert [pr.boundary(e) for e in range(7)] == [
+        True, False, True, False, True, False, False]
+    x = jnp.arange(32, dtype=jnp.float32).reshape(1, 32)
+    assert pr.downsample(x, 0).shape == (1, 8)
+    assert pr.downsample(x, 2).shape == (1, 16)
+    assert pr.downsample(x, 6).shape == (1, 32)
+    np.testing.assert_array_equal(
+        np.asarray(pr.downsample(x, 0))[0], np.arange(0, 32, 4))
+    assert pr.lr_scale(0) == 2.0 and pr.lr_scale(4) == 1.0
+    assert pr.bandlimit(0) == 0.25 and pr.bandlimit(3) is None
+    # beyond the schedule: clamps to the last stage (the reference trains
+    # any residual epochs at final resolution)
+    assert pr.stage_of(100) == 2
+
+
+def test_progressive_resizing_trains_across_stages():
+    """Two-stage curriculum end to end: the same params train at half and
+    then full resolution (shorter inputs ride the conv's implicit L<N pad,
+    so no parameter surgery at stage boundaries)."""
+    import jax
+    import optax
+
+    from flashfftconv_tpu.models.long_conv import LongConvModel
+    from flashfftconv_tpu.utils.train import (
+        ProgressiveResizing, TrainState, create_train_state)
+
+    pr = ProgressiveResizing([
+        {"resolution": 2, "epochs": 1},
+        {"resolution": 1, "epochs": 1},
+    ])
+    l_max, b = 32, 4
+    model = LongConvModel(d_input=3, d_output=2, d_model=8, n_layers=1,
+                          l_max=l_max, conv_dtype=jnp.float32, dropout=0.0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, l_max, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, (b,)))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    tx = optax.adam(1e-2)
+    state = create_train_state(params, tx)
+
+    def make_step():
+        @jax.jit
+        def step(state, xs, ys):
+            def loss_fn(p):
+                lg = model.apply({"params": p}, xs)
+                lp = jax.nn.log_softmax(lg.astype(jnp.float32))
+                return -jnp.take_along_axis(lp, ys[:, None], axis=-1).mean()
+            loss, g = jax.value_and_grad(loss_fn)(state.params)
+            up, os_ = tx.update(g, state.opt_state, state.params)
+            return TrainState(step=state.step + 1,
+                              params=optax.apply_updates(state.params, up),
+                              opt_state=os_), loss
+        return step
+
+    losses = []
+    for epoch in range(pr.total_epochs):
+        if pr.boundary(epoch):
+            step = make_step()  # fresh compile at the new shape
+        xs = pr.downsample(x, epoch)
+        state, loss = step(state, xs, y)
+        assert np.isfinite(float(loss))
+        losses.append(float(loss))
+    assert len(losses) == 2
