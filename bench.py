@@ -86,7 +86,54 @@ def timeit(f, *args, iters=None, warmup=2):
     return min(fits)
 
 
+def device_reachable(timeout_s: float = 180.0) -> bool:
+    """True when a tiny op + readback completes within timeout_s.
+
+    The axon relay to the chip can die (observed 2026-08-17); when it does,
+    device puts and jit calls block FOREVER rather than raising. Probe in a
+    daemon thread so a dead relay turns into a fast, explicit failure
+    instead of a hung benchmark process."""
+    import threading
+
+    ok = []
+
+    def _probe():
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.ones((128, 128))
+        np.asarray(jax.device_get((x @ x).ravel()[0]))
+        ok.append(True)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    # Hard watchdog: never let the whole bench exceed BENCH_TIMEOUT seconds
+    # (the relay can also die mid-run, hanging a later sync). os._exit from
+    # a timer thread is the only exit that works while the main thread is
+    # blocked inside a device readback.
+    import threading
+
+    budget = float(os.environ.get("BENCH_TIMEOUT", "3600"))
+
+    def _abort():
+        log(f"bench.py: exceeded BENCH_TIMEOUT={budget:.0f}s — device link "
+            "likely dead mid-run; aborting without a result line")
+        os._exit(4)
+
+    watchdog = threading.Timer(budget, _abort)
+    watchdog.daemon = True
+    watchdog.start()
+
+    if not device_reachable():
+        log("bench.py: device unreachable (probe timed out) — the TPU relay "
+            "is down; refusing to emit a bogus result line")
+        sys.exit(3)
+
     import jax
     import jax.numpy as jnp
 

@@ -97,6 +97,38 @@ def test_lra_retrieval_example(tmp_path):
     assert "val acc" in r.stdout
 
 
+@pytest.mark.slow
+def test_forecasting_example(tmp_path):
+    r = _run(
+        ["examples/forecasting/train_ett.py", "--epochs", "1", "--n-steps",
+         "2000", "--l-max", "256", "--horizon", "24", "--batch_size", "16",
+         "--d_model", "32", "--n_layers", "1",
+         "--ckpt-dir", str(tmp_path / "ckpt")]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "val mse" in r.stdout
+
+
+def test_ett_generator_properties():
+    sys.path.insert(0, os.path.join(ROOT, "examples", "forecasting"))
+    from train_ett import N_CHANNELS, build_series, make_windows
+
+    s = build_series(1000, seed=0)
+    assert s.shape == (1000, N_CHANNELS)
+    # standardized per channel
+    np.testing.assert_allclose(s.mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(s.std(0), 1.0, atol=1e-4)
+    # strong daily seasonality: autocorrelation at lag 24 well above lag 17
+    def acorr(x, lag):
+        return float(np.mean(x[:-lag] * x[lag:]))
+    assert acorr(s[:, 0], 24) > acorr(s[:, 0], 17) + 0.05
+    xs, ys = make_windows(s, l_in=64, horizon=8, stride=4)
+    assert xs.shape[1:] == (64, N_CHANNELS) and ys.shape[1:] == (8, N_CHANNELS)
+    # windows and targets are contiguous in time
+    np.testing.assert_array_equal(xs[1], s[4:68])
+    np.testing.assert_array_equal(ys[1], s[68:76])
+
+
 def test_pathfinder_generator_properties():
     sys.path.insert(0, os.path.join(ROOT, "examples", "lra"))
     from train_pathfinder import MARK_VAL, SIDE, build_dataset
