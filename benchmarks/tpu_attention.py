@@ -69,6 +69,57 @@ def main():
         results["cases"].append(rec)
         print(rec, flush=True)
 
+    # --- ALiBi bias through the flash kernel's ab operand ---------------------
+    from flashfftconv_tpu.ops.attention import alibi_bias, blocksparse_mha
+
+    l = 1024
+    q, k, v = mk(2, 4, l, 128, jnp.bfloat16)
+    bias = alibi_bias(4, l, l)
+    out = jax.jit(lambda q, k, v: flash_mha(q, k, v, causal=True, impl="flash", bias=bias))(q, k, v)
+    ref = mha_reference(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+                        causal=True, bias=bias)
+    err = float(np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max())
+    rec = {"case": "alibi_parity", "L": l, "max_err": err, "tol": 2e-2, "ok": err < 2e-2}
+    results["cases"].append(rec)
+    print(rec, flush=True)
+
+    # --- sliding window via the splash kernel ---------------------------------
+    for w in (128, 512):
+        out = jax.jit(lambda q, k, v: flash_mha(q, k, v, causal=True, impl="flash", window=w))(q, k, v)
+        ref = mha_reference(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+                            causal=True, window=w)
+        err = float(np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max())
+        rec = {"case": "window_parity", "L": l, "window": w, "max_err": err, "tol": 2e-2,
+               "ok": err < 2e-2}
+        results["cases"].append(rec)
+        print(rec, flush=True)
+
+    # window grads through the splash VJP
+    gw = jax.jit(jax.grad(lambda q, k, v: flash_mha(q, k, v, causal=True, impl="flash",
+                                                    window=128).astype(jnp.float32).sum(),
+                          argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.jit(jax.grad(lambda q, k, v: flash_mha(q, k, v, causal=True, impl="xla",
+                                                    window=128).astype(jnp.float32).sum(),
+                          argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b2 in zip("qkv", gw, gr):
+        err = float(np.abs(np.asarray(a, np.float32) - np.asarray(b2, np.float32)).max())
+        rec = {"case": f"window_d{name}", "L": l, "max_err": err, "tol": 5e-2, "ok": err < 5e-2}
+        results["cases"].append(rec)
+        print(rec, flush=True)
+
+    # --- blocksparse via the splash kernel ------------------------------------
+    nb = l // 256
+    mrng = np.random.default_rng(1)
+    blockmask = mrng.integers(0, 2, size=(nb, nb))
+    blockmask[np.arange(nb), np.arange(nb)] = 1
+    out = blocksparse_mha(q, k, v, blockmask, block_size=256, causal=True, impl="flash")
+    ref = blocksparse_mha(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+                          blockmask, block_size=256, causal=True, impl="xla")
+    err = float(np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max())
+    rec = {"case": "blocksparse_parity", "L": l, "max_err": err, "tol": 2e-2, "ok": err < 2e-2}
+    results["cases"].append(rec)
+    print(rec, flush=True)
+
     # --- long context: L=16K forward+backward, memory accounting -------------
     b, h, l, d = 1, 8, 16384, 128
     q, k, v = mk(b, h, l, d, jnp.bfloat16)

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from flashfftconv_tpu.ops.attention import flash_mha
+from flashfftconv_tpu.ops.attention import alibi_bias, alibi_slopes, flash_mha
 
 
 class MHAOperator(nn.Module):
@@ -29,6 +29,8 @@ class MHAOperator(nn.Module):
     causal: bool = True
     dropout: float = 0.0
     impl: str = "auto"  # 'auto' | 'flash' | 'xla'
+    alibi: bool = False  # ALiBi positional bias (ref bert_layers.py ALiBi)
+    window: int | None = None  # sliding-window width (ref local attention)
 
     def setup(self):
         self.qkv_proj = nn.Dense(3 * self.d_model, name="qkv_proj")
@@ -46,6 +48,7 @@ class MHAOperator(nn.Module):
         hd = d // self.num_heads
         qkv = self.qkv_proj(u)
         q, k, v = map(self._split_heads, jnp.split(qkv, 3, axis=-1))
+        bias = alibi_bias(self.num_heads, l, l) if self.alibi else None
 
         if self.dropout > 0.0 and not deterministic:
             # Attention-probability dropout needs the materialized matrix;
@@ -56,14 +59,29 @@ class MHAOperator(nn.Module):
             scores = jnp.einsum(
                 "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
             ) * (hd**-0.5)
-            if self.causal:
+            if bias is not None:
+                scores = scores + bias
+            if self.window is not None:
+                qpos = jnp.arange(l)[:, None]
+                kpos = jnp.arange(l)[None, :]
+                keep = (kpos <= qpos) & (kpos > qpos - self.window)
+                scores = jnp.where(keep[None, None], scores, -jnp.inf)
+            elif self.causal:
                 mask = jnp.tril(jnp.ones((l, l), bool))[None, None]
                 scores = jnp.where(mask, scores, -jnp.inf)
             attn = jax.nn.softmax(scores, axis=-1)
             attn = self.drop(attn, deterministic=False)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
         else:
-            out = flash_mha(q, k, v, causal=self.causal, impl=self.impl)
+            out = flash_mha(
+                q,
+                k,
+                v,
+                causal=self.causal,
+                impl=self.impl,
+                bias=bias,
+                window=self.window,
+            )
 
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
         return self.out_proj(out)
@@ -84,10 +102,17 @@ class MHAOperator(nn.Module):
             cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0)
         )
         # Mask out cache slots beyond pos (future/unwritten).
-        valid = jnp.arange(ck.shape[2]) <= pos
+        kpos = jnp.arange(ck.shape[2])
+        valid = kpos <= pos
+        if self.window is not None:
+            valid &= kpos > pos - self.window
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, ck.astype(q.dtype), preferred_element_type=jnp.float32
         ) * (hd**-0.5)
+        if self.alibi:
+            slopes = alibi_slopes(self.num_heads)
+            dist = jnp.abs(pos - kpos).astype(jnp.float32)
+            scores = scores + (-slopes[:, None, None] * dist[None, :])[None]
         scores = jnp.where(valid[None, None, None, :], scores, -jnp.inf)
         attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, cv.astype(v.dtype))

@@ -9,7 +9,13 @@ import numpy as np
 import pytest
 
 from flashfftconv_tpu.models.attention import MHAOperator
-from flashfftconv_tpu.ops.attention import flash_mha, mha_reference
+from flashfftconv_tpu.ops.attention import (
+    alibi_bias,
+    alibi_slopes,
+    blocksparse_mha,
+    flash_mha,
+    mha_reference,
+)
 
 
 def _qkv(rng, b=2, h=4, l=256, d=64, dtype=jnp.float32):
@@ -42,6 +48,100 @@ def test_flash_mha_grads_finite(rng):
     gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     for g in (gq, gk, gv):
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_alibi_slopes_power_of_two():
+    """8 heads -> the canonical geometric series 2^-1 .. 2^-8 (Press et al.,
+    the table the reference's bert_layers.py builds)."""
+    s = np.asarray(alibi_slopes(8))
+    np.testing.assert_allclose(s, [2.0 ** -(i + 1) for i in range(8)], rtol=1e-6)
+    # Non-power-of-2: first `base` entries are the base series, the extras
+    # are the odd-indexed entries of the doubled series.
+    s12 = np.asarray(alibi_slopes(12))
+    assert s12.shape == (12,)
+    np.testing.assert_allclose(s12[:8], np.asarray(alibi_slopes(8)), rtol=1e-6)
+    np.testing.assert_allclose(s12[8:], np.asarray(alibi_slopes(16))[0::2][:4], rtol=1e-6)
+
+
+def test_flash_mha_bias_matches_manual(rng):
+    """ALiBi bias through flash_mha == manual scores+bias softmax."""
+    b, h, l, d = 2, 4, 64, 32
+    q, k, v = _qkv(rng, b=b, h=h, l=l, d=d)
+    bias = alibi_bias(h, l, l)
+    out = flash_mha(q, k, v, causal=True, bias=bias)
+
+    scale = d**-0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale + bias
+    mask = jnp.tril(jnp.ones((l, l), bool))[None, None]
+    scores = jnp.where(mask, scores, -jnp.inf)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_flash_mha_window_matches_dense_mask(rng):
+    """window=W == dense banded causal mask."""
+    b, h, l, d = 1, 2, 64, 16
+    q, k, v = _qkv(rng, b=b, h=h, l=l, d=d)
+    w = 8
+    out = flash_mha(q, k, v, causal=True, window=w)
+
+    scale = d**-0.5
+    qpos = jnp.arange(l)[:, None]
+    kpos = jnp.arange(l)[None, :]
+    keep = (kpos <= qpos) & (kpos > qpos - w)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    scores = jnp.where(keep[None, None], scores, -jnp.inf)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_blocksparse_mha_matches_dense(rng):
+    """blocksparse_mha (XLA fallback) == dense attention restricted to the
+    kept blocks (the reference flash_blocksparse_attn semantics)."""
+    b, h, l, d, bs = 1, 2, 64, 16, 16
+    q, k, v = _qkv(rng, b=b, h=h, l=l, d=d)
+    nb = l // bs
+    mrng = np.random.default_rng(0)
+    blockmask = mrng.integers(0, 2, size=(nb, nb))
+    blockmask[np.arange(nb), np.arange(nb)] = 1  # keep diagonal blocks
+    out = blocksparse_mha(q, k, v, blockmask, block_size=bs, causal=True)
+
+    dense = np.kron(blockmask.astype(bool), np.ones((bs, bs), bool))
+    dense &= np.tril(np.ones((l, l), bool))
+    scale = d**-0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    scores = jnp.where(jnp.asarray(dense)[None, None], scores, -jnp.inf)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_blocksparse_mha_fully_masked_rows_zero(rng):
+    """Rows whose every block is masked emit zeros, not NaN."""
+    b, h, l, d, bs = 1, 1, 32, 8, 16
+    q, k, v = _qkv(rng, b=b, h=h, l=l, d=d)
+    blockmask = np.array([[0, 0], [1, 1]])
+    out = np.asarray(blocksparse_mha(q, k, v, blockmask, block_size=bs))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[:, :, :bs], 0.0)
+
+
+def test_mha_operator_alibi_window_decode_matches_forward(rng):
+    """Decode parity holds with ALiBi + sliding window enabled."""
+    b, l, d = 2, 16, 32
+    op = MHAOperator(
+        d_model=d, num_heads=4, causal=True, impl="xla", alibi=True, window=5
+    )
+    u = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+    variables = op.init(jax.random.PRNGKey(0), u)
+    y_full = op.apply(variables, u, deterministic=True)
+
+    cache = op.init_cache(b, max_length=l)
+    ys = []
+    for t in range(l):
+        y_t, cache = op.apply_step(variables, u[:, t : t + 1], cache, t)
+        ys.append(y_t)
+    y_inc = jnp.concatenate(ys, axis=1)
+    np.testing.assert_allclose(np.asarray(y_inc), np.asarray(y_full), atol=1e-5)
 
 
 def test_mha_operator_decode_matches_forward(rng):
