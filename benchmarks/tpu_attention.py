@@ -107,6 +107,20 @@ def main():
         results["cases"].append(rec)
         print(rec, flush=True)
 
+    # --- packed sequences (segment ids) through the flash kernel --------------
+    seg = np.zeros((2, l), np.int32)
+    seg[:, : l // 2] = 1
+    seg[:, l // 2 :] = 2
+    seg = jnp.asarray(seg)
+    out = jax.jit(lambda q, k, v: flash_mha(q, k, v, causal=True, impl="flash",
+                                            segment_ids=seg))(q, k, v)
+    ref = mha_reference(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+                        causal=True, segment_ids=seg)
+    err = float(np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max())
+    rec = {"case": "segment_ids_parity", "L": l, "max_err": err, "tol": 2e-2, "ok": err < 2e-2}
+    results["cases"].append(rec)
+    print(rec, flush=True)
+
     # --- blocksparse via the splash kernel ------------------------------------
     nb = l // 256
     mrng = np.random.default_rng(1)

@@ -41,8 +41,10 @@ class MHAOperator(nn.Module):
         b, l, d = x.shape
         return x.reshape(b, l, self.num_heads, d // self.num_heads).transpose(0, 2, 1, 3)
 
-    def __call__(self, u, deterministic: bool = True):
-        # u: (B, L, D)
+    def __call__(self, u, deterministic: bool = True, segment_ids=None):
+        # u: (B, L, D); segment_ids: optional (B, L) int for packed
+        # variable-length sequences (the reference's unpadded-attention
+        # path, see ops.attention.pack_sequences).
         b, l, d = u.shape
         assert d % self.num_heads == 0
         hd = d // self.num_heads
@@ -69,6 +71,9 @@ class MHAOperator(nn.Module):
             elif self.causal:
                 mask = jnp.tril(jnp.ones((l, l), bool))[None, None]
                 scores = jnp.where(mask, scores, -jnp.inf)
+            if segment_ids is not None:
+                same = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+                scores = jnp.where(same, scores, -jnp.inf)
             attn = jax.nn.softmax(scores, axis=-1)
             attn = self.drop(attn, deterministic=False)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
@@ -81,6 +86,7 @@ class MHAOperator(nn.Module):
                 impl=self.impl,
                 bias=bias,
                 window=self.window,
+                segment_ids=segment_ids,
             )
 
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d)

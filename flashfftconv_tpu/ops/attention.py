@@ -101,12 +101,15 @@ def mha_reference(
     sm_scale: float | None = None,
     bias: jax.Array | None = None,
     window: int | None = None,
+    segment_ids: jax.Array | None = None,
 ) -> jax.Array:
     """O(L^2) XLA softmax attention, f32 accumulation. Shapes (B, H, L, D).
 
     bias: additive attention bias broadcastable to (B, H, Lq, Lk), applied
     after the sm_scale multiply (the flash_attn_triton.py convention).
     window: sliding-window width (implies causal banding).
+    segment_ids: (B, L) int; tokens attend only within equal ids (the
+    packed-sequence form of the reference's unpadded attention).
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -121,6 +124,9 @@ def mha_reference(
     elif causal:
         mask = jnp.tril(jnp.ones((l_q, l_k), bool), k=l_k - l_q)
         scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    if segment_ids is not None:
+        same = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+        scores = jnp.where(same, scores, -jnp.inf)
     attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
 
@@ -144,6 +150,7 @@ def flash_mha(
     impl: str = "auto",
     bias: jax.Array | None = None,
     window: int | None = None,
+    segment_ids: jax.Array | None = None,
 ) -> jax.Array:
     """Fused multi-head attention, shapes (B, num_heads, L, head_dim).
 
@@ -153,6 +160,10 @@ def flash_mha(
     `alibi_bias(...)` — applied after the sm_scale multiply.
     window: static sliding-window width; on TPU this routes to the splash
     attention kernel, whose block skipping makes cost O(L * window).
+    segment_ids: (B, L) int; tokens attend only within equal ids — the
+    packed-sequence (unpadded) attention of the reference's
+    bert_padding.py + flash_attn_unpadded path, done the static-shape TPU
+    way (pack_sequences builds these).
     Differentiable in q/k/v (and bias) on all paths.
     """
     if sm_scale is None:
@@ -162,14 +173,15 @@ def flash_mha(
     )
     if not use_flash:
         return mha_reference(
-            q, k, v, causal=causal, sm_scale=sm_scale, bias=bias, window=window
+            q, k, v, causal=causal, sm_scale=sm_scale, bias=bias,
+            window=window, segment_ids=segment_ids,
         )
 
     if window is not None:
-        if bias is not None:
+        if bias is not None or segment_ids is not None:
             raise NotImplementedError(
-                "window + bias on the flash path (splash attention has no "
-                "additive-bias operand); use impl='xla'"
+                "window + bias/segment_ids on the flash path (splash "
+                "attention has no additive-bias operand); use impl='xla'"
             )
         return _splash_local(q, k, v, window=window, sm_scale=float(sm_scale))
 
@@ -184,10 +196,56 @@ def flash_mha(
         ab = jnp.broadcast_to(
             bias.astype(jnp.float32) / float(sm_scale), (b, h, l, l)
         )
+    seg = None
+    if segment_ids is not None:
+        seg = _fa.SegmentIds(q=segment_ids, kv=segment_ids)
     out = _fa.flash_attention(
-        q, k, v, ab=ab, causal=causal, sm_scale=float(sm_scale)
+        q, k, v, ab=ab, segment_ids=seg, causal=causal, sm_scale=float(sm_scale)
     )
     return out.astype(v.dtype)
+
+
+def pack_sequences(seqs, pack_len: int, pad_id: int = 0):
+    """Pack variable-length sequences into fixed (rows, pack_len) buffers
+    with per-token segment ids — the static-shape TPU analog of the
+    reference's unpad_input/pad_input (flash_attn/bert_padding.py), which
+    concatenates valid tokens and tracks cu_seqlens.
+
+    seqs: list of (l_i, ...) numpy/jax arrays (features optional). Greedy
+    first-fit packing. Returns (packed, segment_ids, index) where packed is
+    (rows, pack_len, ...) zero-padded, segment_ids is (rows, pack_len) int32
+    with 1-based ids per original sequence (pad slots get `pad_id`), and
+    index maps each original sequence -> (row, start). Feed segment_ids to
+    flash_mha; recover outputs per sequence via index.
+    """
+    rows: list[list] = []  # each: list of (seq_idx, seq)
+    space: list[int] = []
+    for i, s in enumerate(seqs):
+        li = s.shape[0]
+        if li > pack_len:
+            raise ValueError(f"sequence {i} length {li} > pack_len {pack_len}")
+        for r in range(len(rows)):
+            if space[r] >= li:
+                rows[r].append((i, s))
+                space[r] -= li
+                break
+        else:
+            rows.append([(i, s)])
+            space.append(pack_len - li)
+
+    feat_shape = np.asarray(seqs[0]).shape[1:]
+    packed = np.zeros((len(rows), pack_len, *feat_shape), np.asarray(seqs[0]).dtype)
+    seg = np.full((len(rows), pack_len), pad_id, np.int32)
+    index: dict[int, tuple[int, int]] = {}
+    for r, row in enumerate(rows):
+        off = 0
+        for i, s in row:
+            li = s.shape[0]
+            packed[r, off : off + li] = np.asarray(s)
+            seg[r, off : off + li] = i + 1
+            index[i] = (r, off)
+            off += li
+    return packed, seg, index
 
 
 def _splash_block_sizes(l: int):
