@@ -20,6 +20,17 @@ import jax
 import jax.numpy as jnp
 
 from flashfftconv_tpu.ops.attention import alibi_bias, alibi_slopes, flash_mha
+from flashfftconv_tpu.ops.fused import apply_rotary_emb
+
+
+def rotary_tables(l: int, dim: int, base: float = 10000.0):
+    """cos/sin tables (L, dim/2) for GPT-NeoX-style rotary embedding — the
+    analog of the reference's RotaryEmbedding cache
+    (flash_attn/layers/rotary.py:60-78, inv_freq = base^(-2i/dim))."""
+    inv_freq = 1.0 / (base ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    t = jnp.arange(l, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)
+    return jnp.cos(freqs), jnp.sin(freqs)
 
 
 class MHAOperator(nn.Module):
@@ -31,6 +42,9 @@ class MHAOperator(nn.Module):
     impl: str = "auto"  # 'auto' | 'flash' | 'xla'
     alibi: bool = False  # ALiBi positional bias (ref bert_layers.py ALiBi)
     window: int | None = None  # sliding-window width (ref local attention)
+    rotary_dim: int = 0  # rotary channels per head, 0 = off (ref MHA
+    # rotary_emb_dim, flash_attn/modules/mha.py); use head_dim for full
+    rotary_base: float = 10000.0
 
     def setup(self):
         self.qkv_proj = nn.Dense(3 * self.d_model, name="qkv_proj")
@@ -41,6 +55,16 @@ class MHAOperator(nn.Module):
         b, l, d = x.shape
         return x.reshape(b, l, self.num_heads, d // self.num_heads).transpose(0, 2, 1, 3)
 
+    def _rotate(self, q, k, cos, sin):
+        """Apply rotary to the first rotary_dim channels of q/k (B,H,L,hd);
+        cos/sin rows must match the L axis (a single row for decode steps)."""
+        r = self.rotary_dim
+        q_rot = apply_rotary_emb(q[..., :r], cos, sin)
+        k_rot = apply_rotary_emb(k[..., :r], cos, sin)
+        q = jnp.concatenate([q_rot, q[..., r:]], axis=-1) if r < q.shape[-1] else q_rot
+        k = jnp.concatenate([k_rot, k[..., r:]], axis=-1) if r < k.shape[-1] else k_rot
+        return q, k
+
     def __call__(self, u, deterministic: bool = True, segment_ids=None):
         # u: (B, L, D); segment_ids: optional (B, L) int for packed
         # variable-length sequences (the reference's unpadded-attention
@@ -50,6 +74,9 @@ class MHAOperator(nn.Module):
         hd = d // self.num_heads
         qkv = self.qkv_proj(u)
         q, k, v = map(self._split_heads, jnp.split(qkv, 3, axis=-1))
+        if self.rotary_dim:
+            cos, sin = rotary_tables(l, self.rotary_dim, self.rotary_base)
+            q, k = self._rotate(q, k, cos, sin)
         bias = alibi_bias(self.num_heads, l, l) if self.alibi else None
 
         if self.dropout > 0.0 and not deterministic:
@@ -101,6 +128,10 @@ class MHAOperator(nn.Module):
         hd = d // self.num_heads
         qkv = self.qkv_proj(u_t)
         q, k, v = map(self._split_heads, jnp.split(qkv, 3, axis=-1))
+        if self.rotary_dim:
+            cos, sin = rotary_tables(cache["k"].shape[2], self.rotary_dim, self.rotary_base)
+            row = lambda t: jax.lax.dynamic_slice_in_dim(t, pos, 1, axis=0)
+            q, k = self._rotate(q, k, row(cos), row(sin))
         ck = jax.lax.dynamic_update_slice(
             cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0)
         )

@@ -208,6 +208,32 @@ def test_mha_operator_alibi_window_decode_matches_forward(rng):
     np.testing.assert_allclose(np.asarray(y_inc), np.asarray(y_full), atol=1e-5)
 
 
+@pytest.mark.parametrize("rotary_dim", [8, 4])  # full and partial rotation
+def test_mha_operator_rotary_decode_matches_forward(rng, rotary_dim):
+    """Decode parity with rotary embedding (full-head and partial, the
+    reference's rotary_emb_dim option in flash_attn/modules/mha.py)."""
+    b, l, d = 2, 16, 32
+    op = MHAOperator(
+        d_model=d, num_heads=4, causal=True, impl="xla", rotary_dim=rotary_dim
+    )
+    u = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+    variables = op.init(jax.random.PRNGKey(0), u)
+    y_full = op.apply(variables, u, deterministic=True)
+    # rotary must actually change the computation
+    y_plain = MHAOperator(d_model=d, num_heads=4, causal=True, impl="xla").apply(
+        variables, u, deterministic=True
+    )
+    assert np.abs(np.asarray(y_full) - np.asarray(y_plain)).max() > 1e-3
+
+    cache = op.init_cache(b, max_length=l)
+    ys = []
+    for t in range(l):
+        y_t, cache = op.apply_step(variables, u[:, t : t + 1], cache, t)
+        ys.append(y_t)
+    y_inc = jnp.concatenate(ys, axis=1)
+    np.testing.assert_allclose(np.asarray(y_inc), np.asarray(y_full), atol=1e-5)
+
+
 def test_mha_operator_decode_matches_forward(rng):
     """KV-cached incremental decoding produces the same outputs as the full
     causal forward (the reference's InferenceParams decode-path guarantee)."""
