@@ -43,7 +43,7 @@ class M2BertLayer(nn.Module):
             name="mixer",
         )(x, deterministic=deterministic)
         h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
             (x + h).astype(jnp.float32)
         ).astype(x.dtype)
 
@@ -56,7 +56,7 @@ class M2BertLayer(nn.Module):
         m = nn.gelu(m.astype(jnp.float32)).astype(x.dtype)
         m = dense(self.d_model, "mlp_fc2")(m)
         m = nn.Dropout(rate=self.dropout)(m, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
             (x + m).astype(jnp.float32)
         ).astype(x.dtype)
         return x
@@ -95,7 +95,7 @@ class M2BertModel(nn.Module):
                              dtype=self.conv_dtype, name="token_type_embeddings")(
                 token_type_ids
             )
-        x = nn.LayerNorm(dtype=jnp.float32, name="embed_norm")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="embed_norm")(
             x.astype(jnp.float32)
         ).astype(self.conv_dtype)
         x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
@@ -148,5 +148,5 @@ class M2BertForMaskedLM(nn.Module):
             h.astype(jnp.float32)
         )
         h = nn.gelu(h)
-        h = nn.LayerNorm(name="mlm_norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="mlm_norm")(h)
         return nn.Dense(self.vocab_size, dtype=jnp.float32, name="mlm_head")(h)

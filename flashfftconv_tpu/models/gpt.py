@@ -68,7 +68,7 @@ class GPTLMHeadModel(nn.Module):
                 name=f"block_{i}",
             )(x, deterministic=deterministic)
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
         if embed_dim != self.d_model:
             h = nn.Dense(embed_dim, use_bias=False, dtype=self.dtype, name="project_out")(
                 h.astype(self.dtype)

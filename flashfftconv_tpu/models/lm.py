@@ -80,14 +80,14 @@ class Block(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         dtype = x.dtype
         res = x.astype(jnp.float32)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(res).astype(dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(res).astype(dtype)
         h = get_mixer_cls(self.mixer)(
             d_model=self.d_model, **(self.mixer_kwargs or {}), name="mixer"
         )(h, deterministic=deterministic)
         h = nn.Dropout(rate=self.resid_dropout)(h, deterministic=deterministic)
         res = res + h.astype(jnp.float32)
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(res).astype(dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(res).astype(dtype)
         if self.moe_kwargs:
             from flashfftconv_tpu.models.moe import MoEMlp
 
@@ -137,7 +137,7 @@ class LMBackbone(nn.Module):
                 moe_kwargs=self.moe_kwargs,
                 name=f"block_{i}",
             )(x, deterministic=deterministic)
-        return nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
 
 
 class ConvLMHeadModel(nn.Module):

@@ -116,7 +116,7 @@ class LongConvModel(nn.Module):
 
         for i in range(self.n_layers):
             z = x
-            norm = nn.LayerNorm(dtype=jnp.float32, name=f"norm_{i}")
+            norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"norm_{i}")
             if self.prenorm:
                 z = jnp.swapaxes(
                     norm(jnp.swapaxes(z, -1, -2).astype(jnp.float32)), -1, -2

@@ -370,5 +370,5 @@ class SequenceModel(nn.Module):
                         **mixer_kwargs, "l_max": mixer_kwargs["l_max"] // stride
                     }
 
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32)).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32)).astype(self.dtype)
         return _make(_DECODERS, self.decoder, name="decoder")(x, lengths=lengths)

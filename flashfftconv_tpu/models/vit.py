@@ -28,13 +28,13 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         res = x.astype(jnp.float32)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(res).astype(x.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(res).astype(x.dtype)
         h = MHAOperator(
             d_model=self.d_model, num_heads=self.num_heads, causal=False,
             dropout=self.dropout, name="mixer",
         )(h, deterministic=deterministic)
         res = res + h.astype(jnp.float32)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(res).astype(x.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(res).astype(x.dtype)
         h = Mlp(self.d_inner, self.d_model, name="mlp")(h)
         return (res + h.astype(jnp.float32)).astype(x.dtype)
 
@@ -86,6 +86,6 @@ class VisionTransformer(nn.Module):
                 name=f"block_{i}",
             )(x, deterministic=deterministic)
 
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
         feat = x[:, 0] if self.global_pool == "token" else x.mean(axis=1)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(feat)

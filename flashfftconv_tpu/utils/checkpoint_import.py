@@ -253,3 +253,73 @@ def merge_params(init_params: Any, imported: dict, report: ImportReport | None =
         return out
 
     return rec(init_params, imported, "")
+
+
+# --------------------------------------------------------------------------
+# GPT-2 (HuggingFace transformers) -> models.gpt.GPTLMHeadModel
+# --------------------------------------------------------------------------
+
+def import_gpt2_state_dict(
+    state: Mapping[str, Any],
+    n_layer: int,
+    pad_vocab_size_multiple: int = 8,
+) -> tuple[dict, ImportReport]:
+    """Map a HuggingFace ``GPT2LMHeadModel`` torch state dict onto the param
+    tree of :class:`flashfftconv_tpu.models.gpt.GPTLMHeadModel` — the analog
+    of the reference's GPT-2 checkpoint remap
+    (flash_attn/models/gpt.py:remap_state_dict_gpt2, exercised by its
+    tests/models/test_gpt.py HF-parity tests).
+
+    HF stores attention/MLP projections as ``Conv1D`` with weights already in
+    (in, out) layout, so they copy straight into Dense kernels without the
+    nn.Linear transpose; the qkv concatenation order (q;k;v) and per-head
+    reshape match MHAOperator's. ``lm_head.weight`` is skipped (weight-tied);
+    the embedding table is zero-padded to ``pad_vocab_size_multiple``.
+    """
+    report = ImportReport()
+    state = {
+        (k[len("transformer.") :] if k.startswith("transformer.") else k): v
+        for k, v in normalize_state_dict(state).items()
+    }
+
+    def take(key: str) -> np.ndarray:
+        report.used.append(key)
+        return _np(state[key])
+
+    def norm(prefix: str) -> dict:
+        return {"scale": take(f"{prefix}.weight"), "bias": take(f"{prefix}.bias")}
+
+    def dense(prefix: str) -> dict:
+        return {"kernel": take(f"{prefix}.weight"), "bias": take(f"{prefix}.bias")}
+
+    wte = take("wte.weight")
+    v, d = wte.shape
+    pad = (-v) % pad_vocab_size_multiple
+    if pad:
+        wte = np.concatenate([wte, np.zeros((pad, d), np.float32)])
+    params: dict[str, Any] = {
+        "embeddings": {"embedding": wte},
+        "pos_embeddings": take("wpe.weight"),
+        "ln_f": norm("ln_f"),
+    }
+    for i in range(n_layer):
+        p = f"h.{i}"
+        params[f"block_{i}"] = {
+            "norm1": norm(f"{p}.ln_1"),
+            "norm2": norm(f"{p}.ln_2"),
+            "mixer": {
+                "qkv_proj": dense(f"{p}.attn.c_attn"),
+                "out_proj": dense(f"{p}.attn.c_proj"),
+            },
+            "mlp": {
+                "fc1": dense(f"{p}.mlp.c_fc"),
+                "fc2": dense(f"{p}.mlp.c_proj"),
+            },
+        }
+
+    handled = set(report.used)
+    for k in state:
+        if k not in handled:
+            # lm_head.weight (tied), attn.bias/attn.masked_bias mask buffers
+            report.skipped.append(k)
+    return params, report

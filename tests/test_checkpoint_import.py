@@ -149,3 +149,45 @@ def test_merge_shape_mismatch_raises(rng):
     )["params"]
     with pytest.raises(ValueError, match="shape mismatch"):
         merge_params(init, imported)
+
+
+@pytest.mark.slow
+def test_gpt2_hf_logits_parity():
+    """Our GPTLMHeadModel with imported HF GPT-2 weights reproduces the
+    transformers (torch CPU) logits — the reference's tests/models/test_gpt.py
+    parity bar, run against a small randomly-initialized GPT-2 config (no
+    network access for pretrained weights in this environment)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flashfftconv_tpu.models.gpt import GPTLMHeadModel
+    from flashfftconv_tpu.utils.checkpoint_import import import_gpt2_state_dict
+
+    cfg = transformers.GPT2Config(
+        vocab_size=125,  # not a multiple of 8: exercises the padding path
+        n_positions=64,
+        n_embd=32,
+        n_layer=2,
+        n_head=4,
+        resid_pdrop=0.0,
+        embd_pdrop=0.0,
+        attn_pdrop=0.0,
+    )
+    torch.manual_seed(0)
+    hf = transformers.GPT2LMHeadModel(cfg).eval()
+    ids = torch.randint(0, 125, (2, 48))
+    with torch.no_grad():
+        ref = hf(ids).logits.numpy()
+
+    params, report = import_gpt2_state_dict(hf.state_dict(), n_layer=2)
+    assert not any("ln_1" in k or "c_attn" in k for k in report.skipped)
+    model = GPTLMHeadModel(
+        d_model=32, n_layer=2, d_inner=128, vocab_size=125, l_max=64,
+        num_heads=4, embed_dropout=0.0, resid_dropout=0.0, dtype=jnp.float32,
+    )
+    out = model.apply({"params": params}, jnp.asarray(ids.numpy()))
+    got = np.asarray(out)[..., :125]
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
