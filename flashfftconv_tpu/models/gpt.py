@@ -37,6 +37,7 @@ class GPTLMHeadModel(nn.Module):
     # OPT variants with word_embed_proj_dim != d_model project the embedding
     # in and out (flash_attn/models/opt.py remaps project_in/project_out).
     embed_dim: int | None = None
+    mlp_activation: str = "gelu"  # OPT uses relu (opt_config_to_gpt2_config)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -48,14 +49,19 @@ class GPTLMHeadModel(nn.Module):
         embed_dim = self.embed_dim or self.d_model
 
         embed = nn.Embed(vocab, embed_dim, dtype=self.dtype, name="embeddings")
+        # Positional embeddings live in d_model space: OPT projects the word
+        # embedding in FIRST, then adds positions (modeling_opt.py
+        # OPTDecoder.forward); for GPT-2 embed_dim == d_model so the order
+        # is indistinguishable.
         pos = self.param(
             "pos_embeddings",
             nn.initializers.normal(0.02),
-            (self.l_max, embed_dim),
+            (self.l_max, self.d_model),
         )
-        x = embed(input_ids) + pos[:l].astype(self.dtype)
+        x = embed(input_ids)
         if embed_dim != self.d_model:
             x = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="project_in")(x)
+        x = x + pos[:l].astype(self.dtype)
         x = nn.Dropout(rate=self.embed_dropout)(x, deterministic=deterministic)
 
         for i in range(self.n_layer):
@@ -65,6 +71,7 @@ class GPTLMHeadModel(nn.Module):
                 mixer="mha",
                 mixer_kwargs={"num_heads": self.num_heads, "causal": True},
                 resid_dropout=self.resid_dropout,
+                mlp_activation=self.mlp_activation,
                 name=f"block_{i}",
             )(x, deterministic=deterministic)
 
@@ -92,5 +99,6 @@ def opt_lm(vocab_size: int, l_max: int, width: str = "125m", **kwargs) -> GPTLMH
         l_max=l_max,
         num_heads=cfg["num_heads"],
         embed_dim=cfg["embed_dim"],
+        mlp_activation=kwargs.pop("mlp_activation", "relu"),
         **kwargs,
     )

@@ -75,6 +75,7 @@ class Block(nn.Module):
     resid_dropout: float = 0.0
     mlp_nblocks: int = 0
     moe_kwargs: dict | None = None
+    mlp_activation: str = "gelu"  # "relu" for OPT (flash_attn/models/opt.py)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -96,7 +97,9 @@ class Block(nn.Module):
                 **self.moe_kwargs, name="mlp",
             )(h, deterministic=deterministic)
         else:
-            h = Mlp(self.d_inner, self.d_model, nblocks=self.mlp_nblocks, name="mlp")(h)
+            act = {"gelu": nn.gelu, "relu": nn.relu}[self.mlp_activation]
+            h = Mlp(self.d_inner, self.d_model, nblocks=self.mlp_nblocks,
+                    activation=act, name="mlp")(h)
         h = nn.Dropout(rate=self.resid_dropout)(h, deterministic=deterministic)
         res = res + h.astype(jnp.float32)
         return res.astype(dtype)

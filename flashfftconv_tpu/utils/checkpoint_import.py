@@ -323,3 +323,80 @@ def import_gpt2_state_dict(
             # lm_head.weight (tied), attn.bias/attn.masked_bias mask buffers
             report.skipped.append(k)
     return params, report
+
+
+def import_opt_state_dict(
+    state: Mapping[str, Any],
+    n_layer: int,
+    pad_vocab_size_multiple: int = 8,
+) -> tuple[dict, ImportReport]:
+    """Map a HuggingFace ``OPTForCausalLM`` torch state dict onto
+    :class:`flashfftconv_tpu.models.gpt.GPTLMHeadModel` (use
+    ``mlp_activation="relu"``; ``embed_dim=word_embed_proj_dim`` when it
+    differs from hidden_size) — the analog of the reference's
+    remap_state_dict_opt (flash_attn/models/opt.py:14-81, exercised by its
+    tests/models/test_opt.py).
+
+    OPT stores separate q/k/v nn.Linear projections; they are transposed and
+    concatenated (q;k;v) into the fused qkv kernel. OPT's learned positional
+    table carries a 2-row offset (OPTLearnedPositionalEmbedding) — the first
+    two rows are dropped. ``lm_head.weight`` is tied and skipped.
+    """
+    report = ImportReport()
+    state = {
+        (k[len("decoder.") :] if k.startswith("decoder.") else k): v
+        for k, v in normalize_state_dict(state).items()
+    }
+
+    def take(key: str) -> np.ndarray:
+        report.used.append(key)
+        return _np(state[key])
+
+    def norm(prefix: str) -> dict:
+        return {"scale": take(f"{prefix}.weight"), "bias": take(f"{prefix}.bias")}
+
+    def linear(prefix: str, bias: bool = True) -> dict:
+        out = {"kernel": torch_linear(state[f"{prefix}.weight"])}
+        report.used.append(f"{prefix}.weight")
+        if bias and f"{prefix}.bias" in state:
+            out["bias"] = take(f"{prefix}.bias")
+        return out
+
+    wte = take("embed_tokens.weight")
+    v = wte.shape[0]
+    pad = (-v) % pad_vocab_size_multiple
+    if pad:
+        wte = np.concatenate([wte, np.zeros((pad, wte.shape[1]), np.float32)])
+    params: dict[str, Any] = {
+        "embeddings": {"embedding": wte},
+        # OPTLearnedPositionalEmbedding offset: rows 0-1 are never addressed
+        # for position ids 0..L-1 with a dense attention mask.
+        "pos_embeddings": take("embed_positions.weight")[2:],
+        "ln_f": norm("final_layer_norm"),
+    }
+    for proj in ("project_in", "project_out"):
+        if f"{proj}.weight" in state:
+            params[proj] = linear(proj, bias=False)
+    for i in range(n_layer):
+        p = f"layers.{i}"
+        qkv_k = np.concatenate(
+            [torch_linear(state[f"{p}.self_attn.{n}_proj.weight"]) for n in "qkv"],
+            axis=1,
+        )
+        qkv_b = np.concatenate([_np(state[f"{p}.self_attn.{n}_proj.bias"]) for n in "qkv"])
+        report.used += [f"{p}.self_attn.{n}_proj.{w}" for n in "qkv" for w in ("weight", "bias")]
+        params[f"block_{i}"] = {
+            "norm1": norm(f"{p}.self_attn_layer_norm"),
+            "norm2": norm(f"{p}.final_layer_norm"),
+            "mixer": {
+                "qkv_proj": {"kernel": qkv_k, "bias": qkv_b},
+                "out_proj": linear(f"{p}.self_attn.out_proj"),
+            },
+            "mlp": {"fc1": linear(f"{p}.fc1"), "fc2": linear(f"{p}.fc2")},
+        }
+
+    handled = set(report.used)
+    for k in state:
+        if k not in handled:
+            report.skipped.append(k)  # lm_head.weight (tied)
+    return params, report

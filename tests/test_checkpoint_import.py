@@ -191,3 +191,86 @@ def test_gpt2_hf_logits_parity():
     out = model.apply({"params": params}, jnp.asarray(ids.numpy()))
     got = np.asarray(out)[..., :125]
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_opt_hf_logits_parity():
+    """OPT import parity vs transformers OPTForCausalLM (torch CPU), with
+    word_embed_proj_dim != hidden_size to exercise project_in/project_out —
+    the reference's tests/models/test_opt.py bar."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flashfftconv_tpu.models.gpt import GPTLMHeadModel
+    from flashfftconv_tpu.utils.checkpoint_import import import_opt_state_dict
+
+    cfg = transformers.OPTConfig(
+        vocab_size=120,
+        hidden_size=32,
+        num_hidden_layers=2,
+        ffn_dim=128,
+        num_attention_heads=4,
+        max_position_embeddings=64,
+        word_embed_proj_dim=16,
+        activation_function="relu",
+        dropout=0.0,
+        do_layer_norm_before=True,
+    )
+    torch.manual_seed(0)
+    hf = transformers.OPTForCausalLM(cfg).eval()
+    ids = torch.randint(0, 120, (2, 40))
+    with torch.no_grad():
+        ref = hf(ids).logits.numpy()
+
+    params, report = import_opt_state_dict(hf.state_dict(), n_layer=2)
+    assert report.skipped == ["lm_head.weight"] or "lm_head.weight" in report.skipped
+    model = GPTLMHeadModel(
+        d_model=32, n_layer=2, d_inner=128, vocab_size=120, l_max=64,
+        num_heads=4, embed_dim=16, mlp_activation="relu",
+        embed_dropout=0.0, resid_dropout=0.0, dtype=jnp.float32,
+    )
+    out = model.apply({"params": params}, jnp.asarray(ids.numpy()))
+    got = np.asarray(out)[..., :120]
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_gpt2_greedy_generation_parity():
+    """Greedy generation with imported GPT-2 weights matches HF generate —
+    the reference's tests/models/test_gpt_generation.py analog."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flashfftconv_tpu.models.gpt import GPTLMHeadModel
+    from flashfftconv_tpu.utils.checkpoint_import import import_gpt2_state_dict
+    from flashfftconv_tpu.utils.generation import generate
+
+    cfg = transformers.GPT2Config(
+        vocab_size=96, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    torch.manual_seed(1)
+    hf = transformers.GPT2LMHeadModel(cfg).eval()
+    prompt = torch.randint(0, 96, (2, 10))
+    with torch.no_grad():
+        ref = hf.generate(
+            prompt, max_new_tokens=8, do_sample=False,
+            pad_token_id=0,
+        ).numpy()
+
+    params, _ = import_gpt2_state_dict(hf.state_dict(), n_layer=2)
+    model = GPTLMHeadModel(
+        d_model=32, n_layer=2, d_inner=128, vocab_size=96, l_max=64,
+        num_heads=4, embed_dropout=0.0, resid_dropout=0.0, dtype=jnp.float32,
+    )
+    out = generate(
+        model.apply, params, jnp.asarray(prompt.numpy()),
+        max_new_tokens=8, max_length=64, temperature=0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)
