@@ -19,6 +19,10 @@ from flashfftconv_tpu.models.attention import MHAOperator
 from flashfftconv_tpu.models.lm import Mlp
 
 
+def _gelu_exact(x):
+    return nn.gelu(x, approximate=False)
+
+
 class ViTBlock(nn.Module):
     d_model: int
     d_inner: int
@@ -35,7 +39,9 @@ class ViTBlock(nn.Module):
         )(h, deterministic=deterministic)
         res = res + h.astype(jnp.float32)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(res).astype(x.dtype)
-        h = Mlp(self.d_inner, self.d_model, name="mlp")(h)
+        # timm (the vendored reference's base) and HF ViT use exact-erf GELU,
+        # unlike GPT-2's tanh approximation.
+        h = Mlp(self.d_inner, self.d_model, activation=_gelu_exact, name="mlp")(h)
         return (res + h.astype(jnp.float32)).astype(x.dtype)
 
 

@@ -400,3 +400,79 @@ def import_opt_state_dict(
         if k not in handled:
             report.skipped.append(k)  # lm_head.weight (tied)
     return params, report
+
+
+def import_vit_state_dict(
+    state: Mapping[str, Any],
+    n_layer: int,
+) -> tuple[dict, ImportReport]:
+    """Map a HuggingFace ``ViTForImageClassification`` torch state dict onto
+    :class:`flashfftconv_tpu.models.vit.VisionTransformer` — the analog of
+    the reference's timm-checkpoint ViT parity (flash_attn/models/vit.py,
+    tests/models/test_vit.py).
+
+    The separate query/key/value Linears fuse into the qkv kernel; the
+    Conv2d patch projection transposes NCHW (d,c,p,p) -> flax HWIO
+    (p,p,c,d); position embeddings keep their CLS row.
+    """
+    report = ImportReport()
+    state = {
+        (k[len("vit.") :] if k.startswith("vit.") else k): v
+        for k, v in normalize_state_dict(state).items()
+    }
+
+    def take(key: str) -> np.ndarray:
+        report.used.append(key)
+        return _np(state[key])
+
+    def norm(prefix: str) -> dict:
+        return {"scale": take(f"{prefix}.weight"), "bias": take(f"{prefix}.bias")}
+
+    def linear(prefix: str) -> dict:
+        out = {"kernel": torch_linear(state[f"{prefix}.weight"])}
+        report.used.append(f"{prefix}.weight")
+        if f"{prefix}.bias" in state:
+            out["bias"] = take(f"{prefix}.bias")
+        return out
+
+    params: dict[str, Any] = {
+        "cls_token": take("embeddings.cls_token"),  # (1, 1, d)
+        "pos_embeddings": take("embeddings.position_embeddings")[0],
+        "patch_embed": {
+            "kernel": take("embeddings.patch_embeddings.projection.weight").transpose(2, 3, 1, 0),
+            "bias": take("embeddings.patch_embeddings.projection.bias"),
+        },
+        "ln_f": norm("layernorm"),
+        "head": linear("classifier"),
+    }
+    for i in range(n_layer):
+        p = f"encoder.layer.{i}"
+        qkv_k = np.concatenate(
+            [torch_linear(state[f"{p}.attention.attention.{n}.weight"]) for n in ("query", "key", "value")],
+            axis=1,
+        )
+        qkv_b = np.concatenate(
+            [_np(state[f"{p}.attention.attention.{n}.bias"]) for n in ("query", "key", "value")]
+        )
+        report.used += [
+            f"{p}.attention.attention.{n}.{w}"
+            for n in ("query", "key", "value") for w in ("weight", "bias")
+        ]
+        params[f"block_{i}"] = {
+            "norm1": norm(f"{p}.layernorm_before"),
+            "norm2": norm(f"{p}.layernorm_after"),
+            "mixer": {
+                "qkv_proj": {"kernel": qkv_k, "bias": qkv_b},
+                "out_proj": linear(f"{p}.attention.output.dense"),
+            },
+            "mlp": {
+                "fc1": linear(f"{p}.intermediate.dense"),
+                "fc2": linear(f"{p}.output.dense"),
+            },
+        }
+
+    handled = set(report.used)
+    for k in state:
+        if k not in handled:
+            report.skipped.append(k)
+    return params, report

@@ -274,3 +274,39 @@ def test_gpt2_greedy_generation_parity():
         max_new_tokens=8, max_length=64, temperature=0.0,
     )
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+@pytest.mark.slow
+def test_vit_hf_logits_parity():
+    """ViT import parity vs transformers ViTForImageClassification (torch
+    CPU) — the reference's tests/models/test_vit.py bar."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flashfftconv_tpu.models.vit import VisionTransformer
+    from flashfftconv_tpu.utils.checkpoint_import import import_vit_state_dict
+
+    cfg = transformers.ViTConfig(
+        image_size=32, patch_size=8, num_channels=3,
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, layer_norm_eps=1e-5,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        num_labels=10,
+    )
+    torch.manual_seed(0)
+    hf = transformers.ViTForImageClassification(cfg).eval()
+    imgs = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        ref = hf(imgs).logits.numpy()
+
+    params, report = import_vit_state_dict(hf.state_dict(), n_layer=2)
+    assert not any("attention" in k for k in report.skipped)
+    model = VisionTransformer(
+        num_classes=10, patch_size=8, d_model=32, n_layer=2, num_heads=4,
+        mlp_ratio=2, dropout=0.0, global_pool="token", dtype=jnp.float32,
+    )
+    out = model.apply({"params": params}, jnp.asarray(imgs.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-3)
