@@ -150,3 +150,151 @@ class M2BertForMaskedLM(nn.Module):
         h = nn.gelu(h)
         h = nn.LayerNorm(epsilon=1e-5, name="mlm_norm")(h)
         return nn.Dense(self.vocab_size, dtype=jnp.float32, name="mlm_head")(h)
+
+
+# --------------------------------------------------------------------------
+# Standard (attention) BERT — the reference's flash_attn/models/bert.py
+# family: post-norm encoder layers over flash attention, pooler, tied MLM
+# head. Kept alongside M2-BERT so conv <-> attention BERT swaps stay
+# config-level, like the reference's create_bert builder.
+# --------------------------------------------------------------------------
+
+from flashfftconv_tpu.models.attention import MHAOperator  # noqa: E402
+
+
+def _gelu_exact(x):
+    return nn.gelu(x.astype(jnp.float32), approximate=False)
+
+
+class BertLayer(nn.Module):
+    """Post-norm encoder layer: LN(x + MHA(x)); LN(x + MLP(x))."""
+
+    d_model: int
+    d_inner: int
+    num_heads: int
+    dropout: float = 0.1
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, segment_ids=None, deterministic: bool = True):
+        h = MHAOperator(
+            d_model=self.d_model, num_heads=self.num_heads, causal=False,
+            impl=self.impl, name="mixer",
+        )(x, deterministic=deterministic, segment_ids=segment_ids)
+        h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
+            (x + h).astype(jnp.float32)
+        ).astype(x.dtype)
+
+        m = nn.Dense(self.d_inner, dtype=x.dtype, name="fc1")(x)
+        m = _gelu_exact(m).astype(x.dtype)  # HF/ref BERT: exact-erf GELU
+        m = nn.Dense(self.d_model, dtype=x.dtype, name="fc2")(m)
+        m = nn.Dropout(rate=self.dropout)(m, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
+            (x + m).astype(jnp.float32)
+        ).astype(x.dtype)
+
+
+class BertModel(nn.Module):
+    """Standard BERT encoder (+pooler). attention_mask (B, L) of 1/0 is
+    turned into segment ids so padded tokens are invisible to valid ones —
+    the static-shape TPU equivalent of the reference's unpadding
+    (bert_padding.py) + additive-mask path."""
+
+    vocab_size: int
+    d_model: int = 768
+    n_layer: int = 12
+    d_inner: int = 3072
+    num_heads: int = 12
+    l_max: int = 512
+    type_vocab_size: int = 2
+    dropout: float = 0.1
+    with_pooler: bool = True
+    impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        token_type_ids=None,
+        attention_mask=None,
+        deterministic: bool = True,
+        embed: nn.Embed | None = None,
+    ):
+        b, l = input_ids.shape
+        if embed is None:
+            embed = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype,
+                             name="word_embeddings")
+        x = embed(input_ids)
+        pos = jnp.arange(l)[None]
+        x = x + nn.Embed(self.l_max, self.d_model, dtype=self.dtype,
+                         name="position_embeddings")(pos)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        x = x + nn.Embed(self.type_vocab_size, self.d_model, dtype=self.dtype,
+                         name="token_type_embeddings")(token_type_ids)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="embed_norm")(
+            x.astype(jnp.float32)
+        ).astype(self.dtype)
+        x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+
+        segment_ids = None
+        if attention_mask is not None:
+            segment_ids = attention_mask.astype(jnp.int32)
+
+        for i in range(self.n_layer):
+            x = BertLayer(
+                d_model=self.d_model, d_inner=self.d_inner,
+                num_heads=self.num_heads, dropout=self.dropout,
+                impl=self.impl, name=f"layer_{i}",
+            )(x, segment_ids=segment_ids, deterministic=deterministic)
+
+        pooled = None
+        if self.with_pooler:
+            pooled = nn.tanh(
+                nn.Dense(self.d_model, dtype=jnp.float32, name="pooler")(
+                    x[:, 0].astype(jnp.float32)
+                )
+            )
+        return x, pooled
+
+
+class BertForMaskedLM(nn.Module):
+    """BERT + tied MLM head (transform dense -> exact GELU -> LN -> tied
+    decoder with its own bias), matching HF BertForMaskedLM."""
+
+    vocab_size: int
+    d_model: int = 768
+    n_layer: int = 12
+    d_inner: int = 3072
+    num_heads: int = 12
+    l_max: int = 512
+    type_vocab_size: int = 2
+    dropout: float = 0.1
+    impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, attention_mask=None,
+                 deterministic: bool = True):
+        # The embedding table lives at the top level so the MLM decoder can
+        # tie to it (the ConvLMHeadModel pattern).
+        embed = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype,
+                         name="word_embeddings")
+        bert = BertModel(
+            vocab_size=self.vocab_size, d_model=self.d_model,
+            n_layer=self.n_layer, d_inner=self.d_inner,
+            num_heads=self.num_heads, l_max=self.l_max,
+            type_vocab_size=self.type_vocab_size, dropout=self.dropout,
+            with_pooler=False, impl=self.impl, dtype=self.dtype, name="bert",
+        )
+        h, _ = bert(input_ids, token_type_ids, attention_mask, deterministic,
+                    embed=embed)
+        h = nn.Dense(self.d_model, dtype=jnp.float32, name="mlm_transform")(
+            h.astype(jnp.float32)
+        )
+        h = _gelu_exact(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="mlm_norm")(h)
+        bias = self.param("mlm_bias", nn.initializers.zeros, (self.vocab_size,))
+        return embed.attend(h.astype(embed.dtype)).astype(jnp.float32) + bias

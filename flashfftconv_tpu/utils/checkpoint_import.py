@@ -476,3 +476,79 @@ def import_vit_state_dict(
         if k not in handled:
             report.skipped.append(k)
     return params, report
+
+
+def import_bert_state_dict(
+    state: Mapping[str, Any],
+    n_layer: int,
+) -> tuple[dict, ImportReport]:
+    """Map a HuggingFace ``BertForMaskedLM`` torch state dict onto
+    :class:`flashfftconv_tpu.models.bert.BertForMaskedLM` — the analog of
+    the reference's remap_state_dict (flash_attn/models/bert.py, exercised
+    by tests/models/test_bert.py).
+
+    query/key/value Linears fuse into the qkv kernel; the tied MLM decoder
+    weight is skipped in favor of the embedding table; ``cls.predictions
+    .bias`` lands in ``mlm_bias``; position_ids buffers and the (absent in
+    our MLM model) pooler are skipped.
+    """
+    report = ImportReport()
+    state = normalize_state_dict(state)
+
+    def take(key: str) -> np.ndarray:
+        report.used.append(key)
+        return _np(state[key])
+
+    def norm(prefix: str) -> dict:
+        return {"scale": take(f"{prefix}.weight"), "bias": take(f"{prefix}.bias")}
+
+    def linear(prefix: str) -> dict:
+        out = {"kernel": torch_linear(state[f"{prefix}.weight"])}
+        report.used.append(f"{prefix}.weight")
+        if f"{prefix}.bias" in state:
+            out["bias"] = take(f"{prefix}.bias")
+        return out
+
+    bert: dict[str, Any] = {
+        "position_embeddings": {"embedding": take("bert.embeddings.position_embeddings.weight")},
+        "token_type_embeddings": {"embedding": take("bert.embeddings.token_type_embeddings.weight")},
+        "embed_norm": norm("bert.embeddings.LayerNorm"),
+    }
+    for i in range(n_layer):
+        p = f"bert.encoder.layer.{i}"
+        qkv_k = np.concatenate(
+            [torch_linear(state[f"{p}.attention.self.{n}.weight"]) for n in ("query", "key", "value")],
+            axis=1,
+        )
+        qkv_b = np.concatenate(
+            [_np(state[f"{p}.attention.self.{n}.bias"]) for n in ("query", "key", "value")]
+        )
+        report.used += [
+            f"{p}.attention.self.{n}.{w}"
+            for n in ("query", "key", "value") for w in ("weight", "bias")
+        ]
+        bert[f"layer_{i}"] = {
+            "mixer": {
+                "qkv_proj": {"kernel": qkv_k, "bias": qkv_b},
+                "out_proj": linear(f"{p}.attention.output.dense"),
+            },
+            "norm1": norm(f"{p}.attention.output.LayerNorm"),
+            "fc1": linear(f"{p}.intermediate.dense"),
+            "fc2": linear(f"{p}.output.dense"),
+            "norm2": norm(f"{p}.output.LayerNorm"),
+        }
+
+    params: dict[str, Any] = {
+        "word_embeddings": {"embedding": take("bert.embeddings.word_embeddings.weight")},
+        "bert": bert,
+        "mlm_transform": linear("cls.predictions.transform.dense"),
+        "mlm_norm": norm("cls.predictions.transform.LayerNorm"),
+        "mlm_bias": take("cls.predictions.bias"),
+    }
+
+    handled = set(report.used)
+    for k in state:
+        if k not in handled:
+            # position_ids buffers, tied cls.predictions.decoder.*, pooler
+            report.skipped.append(k)
+    return params, report

@@ -52,6 +52,8 @@ _REGISTRIES: dict[str, dict[str, str | Callable]] = {
         "vit": "flashfftconv_tpu.models.vit.VisionTransformer",
         "bert": "flashfftconv_tpu.models.bert.M2BertForMaskedLM",
         "m2-bert": "flashfftconv_tpu.models.bert.M2BertModel",
+        "bert-attn": "flashfftconv_tpu.models.bert.BertForMaskedLM",
+        "bert-attn-model": "flashfftconv_tpu.models.bert.BertModel",
     },
     "optimizer": {
         "adamw": "optax.adamw",

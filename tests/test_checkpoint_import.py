@@ -310,3 +310,51 @@ def test_vit_hf_logits_parity():
     )
     out = model.apply({"params": params}, jnp.asarray(imgs.numpy().transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_bert_hf_logits_parity():
+    """Standard-BERT import parity vs transformers BertForMaskedLM (torch
+    CPU), including a padded batch where valid positions must match — the
+    reference's tests/models/test_bert.py bar."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flashfftconv_tpu.models.bert import BertForMaskedLM
+    from flashfftconv_tpu.utils.checkpoint_import import import_bert_state_dict
+
+    cfg = transformers.BertConfig(
+        vocab_size=130, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=2,
+        layer_norm_eps=1e-5, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    hf = transformers.BertForMaskedLM(cfg).eval()
+    ids = torch.randint(0, 130, (2, 24))
+    tt = torch.zeros_like(ids)
+    tt[:, 12:] = 1
+    mask = torch.ones_like(ids)
+    mask[0, 20:] = 0  # padded tail on row 0
+    with torch.no_grad():
+        ref = hf(ids, attention_mask=mask, token_type_ids=tt).logits.numpy()
+
+    params, report = import_bert_state_dict(hf.state_dict(), n_layer=2)
+    assert not any("attention" in k for k in report.skipped)
+    model = BertForMaskedLM(
+        vocab_size=130, d_model=32, n_layer=2, d_inner=64, num_heads=4,
+        l_max=64, dropout=0.0, dtype=jnp.float32,
+    )
+    out = model.apply(
+        {"params": params},
+        jnp.asarray(ids.numpy()),
+        token_type_ids=jnp.asarray(tt.numpy()),
+        attention_mask=jnp.asarray(mask.numpy()),
+    )
+    got = np.asarray(out)
+    valid = np.asarray(mask.numpy(), bool)
+    np.testing.assert_allclose(got[valid], ref[valid], atol=2e-3, rtol=1e-3)
