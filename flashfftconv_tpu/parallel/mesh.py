@@ -56,6 +56,16 @@ DEFAULT_TP_RULES: tuple[tuple[str, tuple[str | None, ...]], ...] = (
     (r".*output_linear.*kernel$", (None, "tp")),   # Dense (in, out) -> column-parallel
     (r".*layer_\d+/kernel$", (None, "tp", None)),  # long-conv kernel (C, H, 2L)
     (r".*layer_\d+/D$", (None, "tp")),             # skip weights (C, H)
+    # Megatron attention/MLP TP (the reference's ColumnParallelLinear /
+    # RowParallelLinear pairs, flash_attn/ops/fused_dense.py:148-186):
+    # qkv and fc1 column-parallel, out_proj and fc2 row-parallel, so the
+    # block needs one collective pair per sublayer under GSPMD.
+    (r".*mixer/qkv_proj/kernel$", (None, "tp")),
+    (r".*mixer/qkv_proj/bias$", ("tp",)),
+    (r".*mixer/out_proj/kernel$", ("tp", None)),
+    (r".*mlp/fc1/kernel$", (None, "tp")),
+    (r".*mlp/fc1/bias$", ("tp",)),
+    (r".*mlp/fc2/kernel$", ("tp", None)),
 )
 
 

@@ -681,3 +681,59 @@ class TestExpertParallel:
             for p, a in jax.tree_util.tree_flatten_with_path(new_params)[0]
         )
         assert moved
+
+
+@needs_multi
+def test_gpt_tp_sharded_matches_single(rng):
+    """GPT (attention) forward + train step over a dp x tp mesh matches the
+    unsharded computation — the reference's torchrun
+    tests/models/test_gpt_parallel.py (world_size 8) done as one-process
+    GSPMD: qkv/fc1 column-parallel, out_proj/fc2 row-parallel."""
+    import optax
+
+    from flashfftconv_tpu.models.gpt import GPTLMHeadModel
+
+    model = GPTLMHeadModel(
+        d_model=32, n_layer=2, d_inner=64, vocab_size=64, l_max=32,
+        num_heads=4, embed_dropout=0.0, resid_dropout=0.0, dtype=jnp.float32,
+    )
+    ids = jnp.asarray(rng.integers(0, 64, size=(8, 32)))
+    params = model.init(jax.random.PRNGKey(0), ids)["params"]
+    logits_single = model.apply({"params": params}, ids)
+
+    mesh = make_mesh((2, 4), ("dp", "tp"))
+    shardings = param_shardings(mesh, params)
+    # the TP rules must actually fire on the attention/MLP kernels
+    qkv = shardings["block_0"]["mixer"]["qkv_proj"]["kernel"]
+    fc2 = shardings["block_0"]["mixer"]["out_proj"]["kernel"]
+    assert qkv.spec == P(None, "tp") and fc2.spec == P("tp", None)
+
+    params_sh = jax.device_put(params, shardings)
+    ids_sh = jax.device_put(ids, batch_sharding(mesh, 2))
+    with mesh:
+        logits = jax.jit(lambda p, i: model.apply({"params": p}, i))(params_sh, ids_sh)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_single), atol=2e-4, rtol=1e-4
+    )
+
+    # one sharded train step: finite loss, params keep their shardings
+    tx = optax.adamw(1e-3)
+    opt_state = jax.device_put(tx.init(params), jax.tree.map(
+        lambda _: NamedSharding(mesh, P()), tx.init(params)))
+
+    def loss_fn(p, i):
+        lg = model.apply({"params": p}, i)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            lg[:, :-1], i[:, 1:]
+        ).mean()
+
+    @jax.jit
+    def step(p, o, i):
+        loss, g = jax.value_and_grad(loss_fn)(p, i)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    with mesh:
+        p2, _, loss = step(params_sh, opt_state, ids_sh)
+    assert np.isfinite(float(loss))
+    assert p2["block_0"]["mixer"]["qkv_proj"]["kernel"].sharding.spec == P(None, "tp")
