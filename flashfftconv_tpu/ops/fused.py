@@ -41,6 +41,29 @@ def dropout_add_layer_norm(
     return (out, res) if prenorm else out
 
 
+def rms_norm(x, weight, eps: float = 1e-5):
+    """RMSNorm (flash_attn/ops/rms_norm.py): x / rms(x) * weight, no mean
+    subtraction and no bias, f32 internally."""
+    h = x.astype(jnp.float32)
+    ms = (h * h).mean(-1, keepdims=True)
+    return (h * jax.lax.rsqrt(ms + eps) * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def dropout_add_rms_norm(
+    x, residual, weight, dropout_rate, rng=None, deterministic=True,
+    eps: float = 1e-5, prenorm: bool = False,
+):
+    """Fused dropout + residual add + RMSNorm
+    (flash_attn/ops/rms_norm.py::dropout_add_rms_norm)."""
+    h = x.astype(jnp.float32)
+    if not deterministic and dropout_rate > 0:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, x.shape)
+        h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+    res = h if residual is None else h + residual.astype(jnp.float32)
+    out = rms_norm(res, weight, eps=eps).astype(x.dtype)
+    return (out, res) if prenorm else out
+
+
 def scaled_masked_softmax(scores, mask=None, scale: float = 1.0):
     """Fused scale+mask+softmax (csrc/fused_softmax)."""
     s = scores.astype(jnp.float32) * scale

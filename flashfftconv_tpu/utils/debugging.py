@@ -47,3 +47,24 @@ def assert_finite(tree, name: str = "tree") -> None:
         if not bool(jnp.isfinite(leaf.astype(jnp.float32)).all()):
             loc = "/".join(str(getattr(p, "key", p)) for p in path)
             raise FloatingPointError(f"non-finite values in {name}:{loc}")
+
+
+def causality_leakage(f, x, positions=None):
+    """Measure gradient leakage forward in time — the reference's
+    CausalityMonitor (training/src/callbacks/causality_monitor.py): for a
+    causal model y = f(x), dy[:, t]/dx[:, s] must vanish for all s > t.
+
+    f: callable mapping (B, L, D) -> (B, L, ...). Returns {t: max |leak|}
+    over the checked positions (default: L//4, L//2, 3L//4).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    l = x.shape[1]
+    if positions is None:
+        positions = sorted({l // 4, l // 2, (3 * l) // 4})
+    leaks = {}
+    for t in positions:
+        g = jax.grad(lambda x: f(x)[:, t].astype(jnp.float32).sum())(x)
+        leaks[t] = float(jnp.abs(g[:, t + 1 :]).max()) if t + 1 < l else 0.0
+    return leaks

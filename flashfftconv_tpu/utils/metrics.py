@@ -72,3 +72,16 @@ class SpeedMonitor:
                 out["items_per_sec"] = n_items / dt
         self._last = now
         return out
+
+
+def param_counts(params) -> dict[str, int]:
+    """Total and per-top-level-module parameter counts — the reference's
+    ParamsLog callback (training/src/callbacks/params_log.py; in JAX the
+    whole param tree is trainable, so total == trainable)."""
+    import jax
+
+    counts = {"total": sum(x.size for x in jax.tree.leaves(params))}
+    if isinstance(params, dict):
+        for k, v in params.items():
+            counts[k] = sum(x.size for x in jax.tree.leaves(v))
+    return counts

@@ -241,3 +241,51 @@ def test_scheduler_registry():
     s2 = instantiate("scheduler", {"_name_": "exponential", "init_value": 1.0,
                                    "transition_steps": 10, "decay_rate": 0.5})
     assert float(s2(10)) < 1.0
+
+
+def test_rms_norm_and_dropout_add(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from flashfftconv_tpu.ops.fused import dropout_add_rms_norm, rms_norm
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    out = rms_norm(x, w)
+    ref = x / np.sqrt((np.asarray(x) ** 2).mean(-1, keepdims=True) + 1e-5) * np.asarray(w)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    res = jnp.ones_like(x)
+    out2, pre = dropout_add_rms_norm(x, res, w, 0.0, deterministic=True, prenorm=True)
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(x) + 1.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(rms_norm(x + res, w)), atol=1e-5
+    )
+
+
+def test_param_counts():
+    import jax.numpy as jnp
+
+    from flashfftconv_tpu.utils.metrics import param_counts
+
+    params = {"a": {"w": jnp.zeros((3, 4))}, "b": {"v": jnp.zeros(5)}}
+    c = param_counts(params)
+    assert c["total"] == 17 and c["a"] == 12 and c["b"] == 5
+
+
+def test_causality_leakage(rng):
+    """A causal conv leaks nothing forward; a bidirectional mix does."""
+    import jax.numpy as jnp
+
+    from flashfftconv_tpu.utils.debugging import causality_leakage
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 4)).astype(np.float32))
+
+    def causal(x):  # causal cumulative sum over time
+        return jnp.cumsum(x, axis=1)
+
+    def acausal(x):  # sees the future
+        return x + jnp.flip(x, axis=1)
+
+    assert all(v == 0.0 for v in causality_leakage(causal, x).values())
+    assert max(causality_leakage(acausal, x).values()) > 0.1
