@@ -103,6 +103,13 @@ class H3Operator(nn.Module):
     conv_dtype: Any = jnp.bfloat16
     impl: str = "auto"
     dropout: float = 0.0  # absorbed, parity with the reference signature
+    # Kernel generators: "long-conv" is the H3Conv variant (h3_conv.py, the
+    # flashfftconv default); "shift"/"s4d" reproduce the original H3's
+    # shift-SSM k-projection and diagonal-SSM v-path (h3.py via
+    # ss_kernel.py modes 'shift'/'diag').
+    k_kernel_type: str = "long-conv"  # "long-conv" | "shift"
+    ssm_kernel_type: str = "long-conv"  # "long-conv" | "s4d"
+    d_state: int = 64
 
     @nn.compact
     def __call__(self, u, deterministic: bool = True):
@@ -119,12 +126,26 @@ class H3Operator(nn.Module):
         v = nn.Dense(d, dtype=u.dtype, name="v_proj")(u)
         q, k, v = (jnp.swapaxes(x, -1, -2) for x in (q, k, v))  # (B, D, L)
 
-        k_kernel = LongConvKernel(
-            d, self.l_max, lam=self.kernel_lam, name="k_kernel"
-        )(deterministic)[0]
-        ssm_kernel = LongConvKernel(
-            d, self.l_max, lam=self.kernel_lam, name="kernel"
-        )(deterministic)[0]
+        if self.k_kernel_type == "shift":
+            from flashfftconv_tpu.models.ssm import SSKernelShift
+
+            k_kernel = SSKernelShift(d, d_state=self.d_state, name="k_kernel")(
+                self.l_max
+            )[0]
+        else:
+            k_kernel = LongConvKernel(
+                d, self.l_max, lam=self.kernel_lam, name="k_kernel"
+            )(deterministic)[0]
+        if self.ssm_kernel_type == "s4d":
+            from flashfftconv_tpu.models.ssm import S4DKernel
+
+            ssm_kernel = S4DKernel(d, n_state=self.d_state, name="kernel")(
+                self.l_max
+            )
+        else:
+            ssm_kernel = LongConvKernel(
+                d, self.l_max, lam=self.kernel_lam, name="kernel"
+            )(deterministic)[0]
         k_d = self.param("k_D", nn.initializers.normal(1.0), (d,))
         d_skip = self.param("D", nn.initializers.normal(1.0), (n_heads,))
 

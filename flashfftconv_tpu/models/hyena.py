@@ -33,7 +33,7 @@ class ShortDepthwiseConv(nn.Module):
 
     channels: int
     kernel_size: int = 3
-    padding: int = 1
+    padding: int | tuple[int, int] = 1
     impl: str = "auto"
 
     @nn.compact
@@ -102,8 +102,13 @@ class HyenaOperator(nn.Module):
             b_in = self.param("in_proj_b", nn.initializers.zeros, (inner,))
             x = x + b_in.astype(x.dtype)[None, :, None]
 
+        # Causal left-padding (K-1, 0): the reference builds this as
+        # Conv1d(padding=K-1) followed by [..., :l] truncation
+        # (hyena.py:273-303, hyenadna_standalone.py:257-279). A symmetric
+        # K//2 pad here would leak one future step into every position.
         x = ShortDepthwiseConv(
-            inner, self.short_filter_order, padding=self.short_filter_order // 2,
+            inner, self.short_filter_order,
+            padding=(self.short_filter_order - 1, 0),
             impl="xla" if self.seq_mesh is not None else "auto",
             name="short_filter",
         )(x)[..., :l]

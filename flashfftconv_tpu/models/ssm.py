@@ -34,10 +34,13 @@ class S4DKernel(nn.Module):
     n_state: int = 64  # state dimension N (half, complex pairs)
     dt_min: float = 1e-3
     dt_max: float = 1e-1
+    measure: str = "lin"  # "lin" | "inv" | "legs" (reference ssm/dplr.py
+    # diag inits; "lin" reproduces the original S4D-Lin grid exactly)
 
     @nn.compact
     def __call__(self, length: int):
         n = self.n_state // 2
+        w0 = dplr_diag_init(self.measure, self.n_state)  # (n,) complex
 
         def init_log_dt(key, shape):
             u = jax.random.uniform(key, shape)
@@ -47,12 +50,16 @@ class S4DKernel(nn.Module):
 
         log_dt = self.param("log_dt", init_log_dt, (self.h,))
         log_a_re = self.param(
-            "log_A_real", lambda key, s: jnp.log(0.5 * jnp.ones(s)), (self.h, n)
+            "log_A_real",
+            lambda key, s: jnp.broadcast_to(
+                jnp.log(jnp.maximum(-jnp.asarray(w0.real, jnp.float32), 1e-4)), s
+            ),
+            (self.h, n),
         )
         a_im = self.param(
             "A_imag",
-            lambda key, s: jnp.broadcast_to(math.pi * jnp.arange(n), s).astype(
-                jnp.float32
+            lambda key, s: jnp.broadcast_to(
+                jnp.asarray(w0.imag, jnp.float32), s
             ),
             (self.h, n),
         )
@@ -163,3 +170,107 @@ class BlockFFT(nn.Module):
             "...kn,nm->...km", xi, m2r
         )
         return rr, ri
+
+
+# --------------------------------------------------------------------------
+# HiPPO / DPLR initializations (reference ssm/hippo.py + ssm/dplr.py) and the
+# remaining SS kernels (ss_kernel_shift.py). These complete the reference's
+# kernel-initialization zoo: S4D measures "lin"/"inv"/"legs" and the shift
+# (FIR) SSM used by the original H3's k-projection (h3.py via ss_kernel.py
+# mode='shift').
+# --------------------------------------------------------------------------
+
+
+def hippo_transition(measure: str, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """HiPPO (A, B) transition matrices (reference ssm/hippo.py transition):
+    'legs' (scaled Legendre), 'legt' (translated Legendre), 'fourier'."""
+    if measure == "legs":
+        q = np.arange(n, dtype=np.float64)
+        col, row = np.meshgrid(q, q)
+        r = 2 * q + 1
+        m = -(np.where(row >= col, r, 0) - np.diag(q))
+        t = np.sqrt(np.diag(2 * q + 1))
+        a = t @ m @ np.linalg.inv(t)
+        b = np.diag(t)[:, None].copy()
+    elif measure == "legt":
+        q = np.arange(n, dtype=np.float64)
+        r = (2 * q + 1) ** 0.5
+        j, i = np.meshgrid(q, q)
+        a = r[:, None] * np.where(i < j, (-1.0) ** (i - j), 1) * r[None, :]
+        b = r[:, None].copy()
+        a = -a
+        # halve B, scale A down by 0.5 (the reference's legt normalization)
+        b *= 0.5
+        a *= 0.5
+    elif measure == "fourier":
+        freqs = np.arange(n // 2)
+        d = np.stack([np.zeros(n // 2), freqs], axis=-1).reshape(-1)[1:]
+        a = np.pi * (-np.diag(d, 1) + np.diag(d, -1))
+        b = np.zeros(n)
+        b[0::2] = 2**0.5
+        b[0] = 1
+        a = a - b[:, None] * b[None, :]
+        b = b[:, None].copy()
+    else:
+        raise NotImplementedError(f"measure {measure!r}")
+    return a.astype(np.float64), b.astype(np.float64)
+
+
+def dplr_diag_init(measure: str, n: int) -> np.ndarray:
+    """Complex diagonal eigenvalue grid for S4D variants (reference
+    ssm/dplr.py): n//2 conjugate-pair representatives.
+
+    'lin'  : -1/2 + i*pi*k                 (S4D-Lin)
+    'inv'  : -1/2 + i*(N/pi)*(N/(2k+1)-1)  (S4D-Inv)
+    'legs' : eigenvalues of the normal part of the HiPPO-LegS matrix
+    """
+    half = n // 2
+    if measure == "lin":
+        w = -0.5 + 1j * np.pi * np.arange(half)
+    elif measure == "inv":
+        k = np.arange(half)
+        w = -0.5 + 1j * (n / np.pi) * (n / (2 * k + 1) - 1)
+    elif measure == "legs":
+        a, b = hippo_transition("legs", n)
+        p = np.sqrt(np.arange(n, dtype=np.float64) + 0.5)  # rank-1 correction
+        an = a + p[:, None] * p[None, :]  # normal part
+        w_all = np.linalg.eigvals(an)
+        w_all = w_all[np.argsort(w_all.imag)]
+        w = w_all[w_all.imag > 0][:half]  # one representative per conj pair
+        if len(w) < half:  # pad with the lin grid if the pairing is short
+            w = np.concatenate([w, (-0.5 + 1j * np.pi * np.arange(half))[len(w):]])
+    else:
+        raise NotImplementedError(f"measure {measure!r}")
+    return w.astype(np.complex128)
+
+
+class SSKernelShift(nn.Module):
+    """Shift SSM kernel (reference ssm/ss_kernel_shift.py + ss_kernel.py
+    mode='shift'): B fixed to e_1 makes the kernel an N-tap learnable FIR,
+    k = irfft(conj(rfft(B, 2N)) * rfft(C, 2N))[..., :N], zero-padded to L.
+    C follows torch Conv1d's kaiming-uniform init."""
+
+    h: int
+    d_state: int = 64
+    channels: int = 1
+
+    @nn.compact
+    def __call__(self, length: int):
+        n = self.d_state
+
+        def b_init(key, shape):
+            return jnp.zeros(shape).at[..., 0].set(1.0)
+
+        def c_init(key, shape):
+            fan_in = self.channels * n  # torch kaiming_uniform(a=sqrt(5))
+            bound = (1.0 / fan_in) ** 0.5
+            return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
+
+        b = self.param("B", b_init, (self.h, n))
+        c = self.param("C", c_init, (self.channels, self.h, n))
+        b_f = jnp.fft.rfft(b, n=2 * n)
+        c_f = jnp.fft.rfft(c, n=2 * n)
+        k = jnp.fft.irfft(jnp.conj(b_f) * c_f, n=2 * n)[..., : min(n, length)]
+        if n < length:
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, length - n)))
+        return k

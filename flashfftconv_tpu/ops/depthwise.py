@@ -2,7 +2,8 @@
 
 Reference behavior (/root/reference/flashfftconv/depthwise_1d.py and
 csrc/flashfftconv/conv1d/): depthwise conv1d with stride 1, dilation 1, odd
-kernel size, symmetric zero padding, optional bias, in two layouts:
+kernel size, symmetric or asymmetric (e.g. causal (K-1, 0)) zero padding,
+optional bias, in two layouts:
 
   - BHL: x (B, D, L), weights (D, K)  -> out (B, D, L + 2*pad - K + 1)
   - BLH: x (B, L, D), weights (K, D)  -> out (B, L + 2*pad - K + 1, D)
@@ -53,6 +54,8 @@ def _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
     """Fallback path: grouped lax.conv for 3D inputs (XLA's depthwise conv is
     near bandwidth-bound on TPU for large strips), K shifted multiply-adds
     otherwise."""
+    if isinstance(padding, int):
+        padding = (padding, padding)
     k, d = w_kd.shape
     if x.ndim == 3:
         dn = ("NCH", "OIH", "NCH") if is_bhl else ("NHC", "OIH", "NHC")
@@ -62,7 +65,7 @@ def _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
             x,
             w_kd.T[:, None, :].astype(x.dtype),
             window_strides=(1,),
-            padding=[(padding, padding)],
+            padding=[padding],
             feature_group_count=d,
             dimension_numbers=dn,
             # f32 inputs get true f32 multiplies (TPU DEFAULT truncates f32
@@ -80,7 +83,7 @@ def _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
     xf = x.astype(jnp.float32)
     wf = w_kd.astype(jnp.float32)
     if is_bhl:
-        xp = jnp.pad(xf, ((0, 0), (0, 0), (padding, padding)))
+        xp = jnp.pad(xf, ((0, 0), (0, 0), padding))
         l_out = xp.shape[-1] - k + 1
         out = jnp.zeros(xp.shape[:-1] + (l_out,), jnp.float32)
         for tap in range(k):
@@ -88,7 +91,7 @@ def _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
         if bias is not None:
             out = out + bias.astype(jnp.float32)[None, :, None]
     else:
-        xp = jnp.pad(xf, ((0, 0), (padding, padding), (0, 0)))
+        xp = jnp.pad(xf, ((0, 0), padding, (0, 0)))
         l_out = xp.shape[1] - k + 1
         out = jnp.zeros((xp.shape[0], l_out, xp.shape[2]), jnp.float32)
         for tap in range(k):
@@ -111,10 +114,11 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
     a tiny side array so each strip is still read exactly once.
 
     Tiled path requires l % _L_TILE == 0 and l == l_out (same-length output,
-    i.e. 2*padding == k-1 — the model use case); the wrapper falls back to
-    XLA otherwise.
+    i.e. pad_left + pad_right == k-1: the models' "same" and causal convs);
+    the wrapper falls back to XLA otherwise.
     """
     k = w_kd.shape[0]
+    pl_, pr_ = (padding, padding) if isinstance(padding, int) else padding
     h = k - 1  # halo rows actually needed on each side
     # Halo buffers are padded to Mosaic-friendly tile widths: the halo sits
     # on the sublane axis for BLH (16 rows total => valid bf16 tile) and on
@@ -122,7 +126,7 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
     # the per-side allotment; left halo occupies [hp-h, hp), right [hp, hp+h).
     hp = 64 if is_bhl else 8
     l = x.shape[-1] if is_bhl else x.shape[-2]
-    l_out = l + 2 * padding - k + 1
+    l_out = l + pl_ + pr_ - k + 1
     lmax = _L_TILE_BHL if is_bhl else _L_TILE
     lt = l if l <= lmax else lmax
     nt = l // lt
@@ -188,7 +192,7 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
     # zeros+pad+add formulation costs. Needs every tap's shift to land
     # inside the hp-row apron; larger kernels (single-tile only) take the
     # legacy per-tap clamped-slice path.
-    fast = padding <= hp and k - 1 - padding <= hp and tile_out == lt
+    fast = pl_ <= hp and k - 1 - pl_ <= hp and tile_out == lt
 
     def kernel(*refs):
         refs = list(refs)
@@ -213,7 +217,7 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
                 (_D_TILE, tile_out) if is_bhl else (tile_out, _D_TILE), jnp.float32
             )
             for tap in range(k):
-                s = tap - padding  # out[l] += w[tap] * x[l + s] = xe[hp + l + s]
+                s = tap - pl_  # out[l] += w[tap] * x[l + s] = xe[hp + l + s]
                 if is_bhl:
                     seg = xe[:, hp + s : hp + s + tile_out].astype(jnp.float32)
                     acc = acc + seg * w_ref[tap].astype(jnp.float32)[:, None]
@@ -228,7 +232,7 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
                 (_D_TILE, tile_out) if is_bhl else (tile_out, _D_TILE), jnp.float32
             )
             for tap in range(k):
-                s = tap - padding
+                s = tap - pl_
                 lo = max(0, -s)
                 hi = min(tile_out, lt - s)
                 if lo < hi:
@@ -306,12 +310,15 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
     (csrc/flashfftconv/conv1d/conv1d.h:76-96), with dk/dbias accumulated
     across the (batch, length-tile) grid axes into a revisited output block
     instead of the host-side reduction the composite path paid K extra
-    passes over x for. Requires the 'same'-conv case 2*padding == k-1.
+    passes over x for. Requires the same-length case pl + pr == k-1
+    (symmetric "same" or causal (k-1, 0) alike; only the left pad enters
+    the tap shifts).
 
-      du[l]   = sum_s w[s] * dout[l + padding - s]
-      dk[s]   = sum_{b,l} x[l + s - padding] * dout[l]
+      du[l]   = sum_s w[s] * dout[l + pl - s]
+      dk[s]   = sum_{b,l} x[l + s - pl] * dout[l]
       dbias   = sum_{b,l} dout[l]
     """
+    pl_, _pr = (padding, padding) if isinstance(padding, int) else padding
     k = w_kd.shape[0]
     hp = 64 if is_bhl else 8
     l = x.shape[-1] if is_bhl else x.shape[-2]
@@ -399,11 +406,11 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
         dk_rows = []
         for tap in range(k):
             wf = w_ref[tap].astype(jnp.float32)
-            # du: dout shifted by padding - tap, weighted by w[tap]
-            sh = shifted(de, padding - tap)
+            # du: dout shifted by pl - tap, weighted by w[tap]
+            sh = shifted(de, pl_ - tap)
             du_acc = du_acc + sh * (wf[:, None] if is_bhl else wf[None, :])
             # dk[tap]: x shifted by tap - padding, correlated with dout
-            dk_rows.append((shifted(xe, tap - padding) * dout_f).sum(axis=l_axis))
+            dk_rows.append((shifted(xe, tap - pl_) * dout_f).sum(axis=l_axis))
         dk_new = jnp.stack(dk_rows)  # (k, DT)
         dbias_new = dout_f.sum(axis=l_axis)[None]  # (1, DT)
         pad_rows = _DK_ROWS - k - 1
@@ -436,22 +443,23 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
 
 
 def _pallas_ok(x, d, l, padding, k, is_bhl) -> bool:
-    if d % _D_TILE != 0 or padding > k - 1:
+    pl_, pr_ = (padding, padding) if isinstance(padding, int) else padding
+    if d % _D_TILE != 0 or pl_ > k - 1 or pr_ > k - 1:
         return False
     lmax = _L_TILE_BHL if is_bhl else _L_TILE
     if l <= lmax:
         return True
-    # Tiled path: uniform tiles, same-length output (the "same" conv the
-    # models use), and a kernel that fits the per-side halo allotment;
-    # other shapes take the XLA path.
-    return l % lmax == 0 and 2 * padding == k - 1 and k - 1 <= 8
+    # Tiled path: uniform tiles, same-length output (the "same" and causal
+    # convs the models use), and a kernel that fits the per-side halo
+    # allotment; other shapes take the XLA path.
+    return l % lmax == 0 and pl_ + pr_ == k - 1 and k - 1 <= 8
 
 
 def depthwise_conv1d(
     x: jax.Array,
     weights: jax.Array,
     bias: jax.Array | None = None,
-    padding: int = 0,
+    padding: int | tuple[int, int] = 0,
     is_bhl: bool = True,
     impl: str = "auto",
 ) -> jax.Array:
@@ -461,7 +469,10 @@ def depthwise_conv1d(
       x: (B, D, L) if is_bhl else (B, L, D).
       weights: (D, K) if is_bhl else (K, D).
       bias: (D,) or None.
-      padding: symmetric zero padding; output length L + 2*padding - K + 1.
+      padding: zero padding — an int (symmetric) or (left, right); output
+        length L + left + right - K + 1. Causal convs use (K-1, 0), the
+        semantics of the reference models' Conv1d(padding=K-1) + [..., :L]
+        truncation (hyena.py:273-303).
       impl: 'auto' (Pallas when the shape qualifies), 'pallas', or 'xla'
         (grouped lax.conv — the right choice under GSPMD sequence sharding,
         where XLA inserts the halo exchange; a pallas_call would force a
@@ -476,6 +487,10 @@ def depthwise_conv1d(
         w_kd = weights
         l = x.shape[-2]
     _check(weights, bias, k)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    else:
+        padding = (int(padding[0]), int(padding[1]))
     out_dtype = x.dtype
 
     if impl not in ("auto", "pallas", "xla"):
@@ -506,9 +521,10 @@ def _dw_bwd(padding, is_bhl, out_dtype, res, dout):
     case takes the fused one-pass kernel instead."""
     x, w_kd, bias = res
     k = w_kd.shape[0]
+    pl_, pr_ = (padding, padding) if isinstance(padding, int) else padding
     l_bwd = x.shape[-1] if is_bhl else x.shape[-2]
     fused_ok = (
-        2 * padding == k - 1
+        pl_ + pr_ == k - 1
         and k <= 9
         and dout.shape == x.shape
         and (
@@ -550,14 +566,15 @@ def _dw_bwd(padding, is_bhl, out_dtype, res, dout):
             sum_axes = (0, 2) if is_bhl else (0, 1)
             dbias = dout.astype(jnp.float32).sum(sum_axes).astype(bias.dtype)
         return du.astype(x.dtype), dw.astype(w_kd.dtype), dbias
-    # Transposed conv: pad' = k - 1 - padding gives du of length L.
+    # Transposed conv: pad' = (k-1-pl, k-1-pr) gives du of length L.
     du = _pallas_depthwise(
-        dout, jnp.flip(w_kd, axis=0), None, k - 1 - padding, is_bhl, jnp.float32
+        dout, jnp.flip(w_kd, axis=0), None, (k - 1 - pl_, k - 1 - pr_),
+        is_bhl, jnp.float32,
     ).astype(x.dtype)
 
     axis = -1 if is_bhl else -2
     xp_pad = [(0, 0)] * x.ndim
-    xp_pad[axis] = (padding, padding)
+    xp_pad[axis] = padding
     xf = jnp.pad(x.astype(jnp.float32), xp_pad)
     df = dout.astype(jnp.float32)
     l_out = dout.shape[axis]

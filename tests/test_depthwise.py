@@ -292,3 +292,56 @@ def test_conv_transpose_bwd_path(rng, monkeypatch, is_bhl):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=1e-3, err_msg=f"{name} is_bhl={is_bhl}"
         )
+
+
+@pytest.mark.parametrize("is_bhl", [True, False])
+def test_causal_padding_matches_reference_conv(rng, is_bhl):
+    """padding=(K-1, 0) == the reference models' causal short filter
+    (Conv1d(padding=K-1) + [..., :L], hyena.py:273-303): output depends on
+    x[t-K+1..t] only."""
+    b, d, l, k = 2, 128, 64, 5
+    x = rng.standard_normal((b, d, l) if is_bhl else (b, l, d)).astype(np.float32)
+    w = rng.standard_normal((d, k) if is_bhl else (k, d)).astype(np.float32)
+    bias = rng.standard_normal(d).astype(np.float32)
+    out = depthwise_conv1d(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias),
+        padding=(k - 1, 0), is_bhl=is_bhl,
+    )
+    # oracle: left-pad K-1, valid conv
+    xf = x if is_bhl else x.transpose(0, 2, 1)
+    wf = w if is_bhl else w.T
+    xp = np.pad(xf, ((0, 0), (0, 0), (k - 1, 0)))
+    ref = np.zeros((b, d, l), np.float32)
+    for tap in range(k):
+        ref += xp[..., tap : tap + l] * wf[:, tap][None, :, None]
+    ref += bias[None, :, None]
+    got = np.asarray(out) if is_bhl else np.asarray(out).transpose(0, 2, 1)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("is_bhl", [True, False])
+def test_causal_padding_tiled_pallas(rng, is_bhl):
+    """The L-tiled Pallas path accepts causal (K-1, 0) padding (same-length
+    output) and matches the XLA path, gradients included."""
+    b, d, k = 1, 128, 5
+    l = (2048 if is_bhl else 4096) * 2  # force the tiled path
+    x = jnp.asarray(
+        rng.standard_normal((b, d, l) if is_bhl else (b, l, d)).astype(np.float32)
+    )
+    w = jnp.asarray(
+        rng.standard_normal((d, k) if is_bhl else (k, d)).astype(np.float32)
+    )
+    y_p = depthwise_conv1d(x, w, None, padding=(k - 1, 0), is_bhl=is_bhl, impl="pallas")
+    y_x = depthwise_conv1d(x, w, None, padding=(k - 1, 0), is_bhl=is_bhl, impl="xla")
+    assert y_p.shape == x.shape
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=1e-4)
+
+    def loss(impl):
+        return lambda x, w: jnp.sum(
+            depthwise_conv1d(x, w, None, padding=(k - 1, 0), is_bhl=is_bhl, impl=impl) ** 2
+        )
+
+    gp = jax.grad(loss("pallas"), argnums=(0, 1))(x, w)
+    gx = jax.grad(loss("xla"), argnums=(0, 1))(x, w)
+    for a, b2 in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=2e-2, rtol=1e-3)

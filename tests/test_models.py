@@ -534,3 +534,80 @@ def test_progressive_resizing_trains_across_stages():
         assert np.isfinite(float(loss))
         losses.append(float(loss))
     assert len(losses) == 2
+
+
+def test_hyena_operator_is_causal(rng):
+    """CausalityMonitor on the real mixer: dy[t]/dx[s>t] == 0 through the
+    Hyena operator (reference callbacks/causality_monitor.py applied to its
+    primary model)."""
+    import jax
+
+    from flashfftconv_tpu.models.hyena import HyenaOperator
+    from flashfftconv_tpu.utils.debugging import causality_leakage
+
+    d, l = 16, 32
+    op = HyenaOperator(d_model=d, l_max=l, impl="xla")
+    x = jnp.asarray(rng.standard_normal((1, l, d)).astype(np.float32) * 0.1)
+    variables = op.init(jax.random.PRNGKey(0), x)
+
+    leaks = causality_leakage(lambda u: op.apply(variables, u), x)
+    assert max(leaks.values()) < 1e-6, leaks
+
+
+def test_h3_shift_s4d_kernels(rng):
+    """H3 with the original paper's kernel generators (shift SSM for k,
+    diagonal S4D SSM for v — reference h3.py via ss_kernel.py modes
+    'shift'/'diag') runs forward+grad and stays causal."""
+    import jax
+
+    from flashfftconv_tpu.models.h3 import H3Operator
+    from flashfftconv_tpu.utils.debugging import causality_leakage
+
+    d, l = 16, 32
+    op = H3Operator(
+        d_model=d, l_max=l, impl="xla", conv_dtype=jnp.float32,
+        k_kernel_type="shift", ssm_kernel_type="s4d", d_state=16,
+    )
+    x = jnp.asarray(rng.standard_normal((2, l, d)).astype(np.float32) * 0.1)
+    variables = op.init(jax.random.PRNGKey(0), x)
+    y = op.apply(variables, x)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+    g = jax.grad(
+        lambda p: jnp.sum(op.apply({"params": p}, x).astype(jnp.float32) ** 2)
+    )(variables["params"])
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(g))
+
+    leaks = causality_leakage(lambda u: op.apply(variables, u), x)
+    assert max(leaks.values()) < 1e-5, leaks
+
+
+def test_ssm_inits_and_shift_kernel(rng):
+    """HiPPO transitions are the published matrices; dplr 'lin' reproduces
+    the S4D-Lin grid; the shift kernel with B=e_1 is the identity on C."""
+    from flashfftconv_tpu.models.ssm import (
+        SSKernelShift,
+        dplr_diag_init,
+        hippo_transition,
+    )
+
+    a, b = hippo_transition("legs", 4)
+    # HiPPO-LegS: A[n, n] = -(n + 1); A[n, k] = -sqrt((2n+1)(2k+1)) for k < n
+    np.testing.assert_allclose(np.diag(a), -(np.arange(4) + 1.0), atol=1e-12)
+    np.testing.assert_allclose(a[2, 0], -np.sqrt(5 * 1), atol=1e-12)
+    assert np.triu(a, 1).max() == 0.0
+
+    w = dplr_diag_init("lin", 8)
+    np.testing.assert_allclose(w.real, -0.5)
+    np.testing.assert_allclose(w.imag, np.pi * np.arange(4))
+
+    import jax
+
+    sk = SSKernelShift(h=3, d_state=8)
+    v = sk.init(jax.random.PRNGKey(0), 20)
+    k = sk.apply(v, 20)
+    assert k.shape == (1, 3, 20)
+    np.testing.assert_allclose(
+        np.asarray(k)[..., :8], np.asarray(v["params"]["C"]), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(k)[..., 8:], 0.0, atol=1e-6)
