@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from flashfftconv_tpu.models.lm import Block
@@ -40,47 +41,91 @@ class GPTLMHeadModel(nn.Module):
     mlp_activation: str = "gelu"  # OPT uses relu (opt_config_to_gpt2_config)
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, input_ids, deterministic: bool = True):
-        b, l = input_ids.shape
+    mixer_kwargs: dict | None = None  # extra MHAOperator options (rotary,
+    # alibi, window, ...) merged over the defaults
+
+    def setup(self):
         vocab = self.vocab_size
         if vocab % self.pad_vocab_size_multiple:
             vocab += self.pad_vocab_size_multiple - vocab % self.pad_vocab_size_multiple
         embed_dim = self.embed_dim or self.d_model
-
-        embed = nn.Embed(vocab, embed_dim, dtype=self.dtype, name="embeddings")
+        self._embed_dim = embed_dim
+        self.embed = nn.Embed(vocab, embed_dim, dtype=self.dtype, name="embeddings")
         # Positional embeddings live in d_model space: OPT projects the word
         # embedding in FIRST, then adds positions (modeling_opt.py
         # OPTDecoder.forward); for GPT-2 embed_dim == d_model so the order
         # is indistinguishable.
-        pos = self.param(
+        self.pos = self.param(
             "pos_embeddings",
             nn.initializers.normal(0.02),
             (self.l_max, self.d_model),
         )
-        x = embed(input_ids)
         if embed_dim != self.d_model:
-            x = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="project_in")(x)
-        x = x + pos[:l].astype(self.dtype)
-        x = nn.Dropout(rate=self.embed_dropout)(x, deterministic=deterministic)
-
-        for i in range(self.n_layer):
-            x = Block(
+            self.project_in = nn.Dense(
+                self.d_model, use_bias=False, dtype=self.dtype, name="project_in"
+            )
+            self.project_out = nn.Dense(
+                embed_dim, use_bias=False, dtype=self.dtype, name="project_out"
+            )
+        mk = dict({"num_heads": self.num_heads, "causal": True},
+                  **(self.mixer_kwargs or {}))
+        self.blocks = [
+            Block(
                 d_model=self.d_model,
                 d_inner=self.d_inner,
                 mixer="mha",
-                mixer_kwargs={"num_heads": self.num_heads, "causal": True},
+                mixer_kwargs=mk,
                 resid_dropout=self.resid_dropout,
                 mlp_activation=self.mlp_activation,
                 name=f"block_{i}",
-            )(x, deterministic=deterministic)
-
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
-        if embed_dim != self.d_model:
-            h = nn.Dense(embed_dim, use_bias=False, dtype=self.dtype, name="project_out")(
-                h.astype(self.dtype)
             )
-        return embed.attend(h.astype(embed.dtype)).astype(jnp.float32)
+            for i in range(self.n_layer)
+        ]
+        self.ln_f = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")
+        self.embed_drop = nn.Dropout(rate=self.embed_dropout)
+
+    def _head(self, x):
+        h = self.ln_f(x.astype(jnp.float32))
+        if self._embed_dim != self.d_model:
+            h = self.project_out(h.astype(self.dtype))
+        return self.embed.attend(h.astype(self.embed.dtype)).astype(jnp.float32)
+
+    def __call__(self, input_ids, deterministic: bool = True):
+        l = input_ids.shape[1]
+        x = self.embed(input_ids)
+        if self._embed_dim != self.d_model:
+            x = self.project_in(x)
+        x = x + self.pos[:l].astype(self.dtype)
+        x = self.embed_drop(x, deterministic=deterministic)
+        for blk in self.blocks:
+            x = blk(x, deterministic=deterministic)
+        return self._head(x)
+
+    # ---- KV-cached incremental decoding (the reference's InferenceParams
+    # path, flash_attn/utils/generation.py) -------------------------------
+
+    def init_cache(self, batch: int, max_length: int, dtype=None):
+        hd = self.d_model // self.num_heads
+        shape = (batch, self.num_heads, max_length, hd)
+        dtype = dtype or self.dtype
+        return [
+            {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(self.n_layer)
+        ]
+
+    def step(self, token_t, caches, pos):
+        """One decode step. token_t: (B, 1) int ids; pos: scalar position.
+        Returns (logits (B, 1, V), new_caches)."""
+        x = self.embed(token_t)
+        if self._embed_dim != self.d_model:
+            x = self.project_in(x)
+        pos_row = jax.lax.dynamic_slice_in_dim(self.pos, pos, 1, axis=0)
+        x = x + pos_row[None].astype(self.dtype)
+        new_caches = []
+        for blk, cache in zip(self.blocks, caches):
+            x, cache = blk.step(x, cache, pos)
+            new_caches.append(cache)
+        return self._head(x), new_caches
 
 
 def opt_lm(vocab_size: int, l_max: int, width: str = "125m", **kwargs) -> GPTLMHeadModel:

@@ -77,32 +77,59 @@ class Block(nn.Module):
     moe_kwargs: dict | None = None
     mlp_activation: str = "gelu"  # "relu" for OPT (flash_attn/models/opt.py)
 
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        dtype = x.dtype
-        res = x.astype(jnp.float32)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(res).astype(dtype)
-        h = get_mixer_cls(self.mixer)(
+    def setup(self):
+        # setup-style (not nn.compact) so `step` can share the submodules
+        # for KV-cached incremental decoding; explicit name= keeps the param
+        # tree identical to the original compact layout.
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
+        self.mixer_mod = get_mixer_cls(self.mixer)(
             d_model=self.d_model, **(self.mixer_kwargs or {}), name="mixer"
-        )(h, deterministic=deterministic)
-        h = nn.Dropout(rate=self.resid_dropout)(h, deterministic=deterministic)
-        res = res + h.astype(jnp.float32)
-
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(res).astype(dtype)
+        )
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
         if self.moe_kwargs:
             from flashfftconv_tpu.models.moe import MoEMlp
 
-            h = MoEMlp(
+            self.mlp_mod = MoEMlp(
                 d_model=self.d_model, d_inner=self.d_inner,
                 **self.moe_kwargs, name="mlp",
-            )(h, deterministic=deterministic)
+            )
         else:
             act = {"gelu": nn.gelu, "relu": nn.relu}[self.mlp_activation]
-            h = Mlp(self.d_inner, self.d_model, nblocks=self.mlp_nblocks,
-                    activation=act, name="mlp")(h)
-        h = nn.Dropout(rate=self.resid_dropout)(h, deterministic=deterministic)
+            self.mlp_mod = Mlp(
+                self.d_inner, self.d_model, nblocks=self.mlp_nblocks,
+                activation=act, name="mlp",
+            )
+        self.drop = nn.Dropout(rate=self.resid_dropout)
+
+    def __call__(self, x, deterministic: bool = True):
+        dtype = x.dtype
+        res = x.astype(jnp.float32)
+        h = self.norm1(res).astype(dtype)
+        h = self.mixer_mod(h, deterministic=deterministic)
+        h = self.drop(h, deterministic=deterministic)
+        res = res + h.astype(jnp.float32)
+
+        h = self.norm2(res).astype(dtype)
+        if self.moe_kwargs:
+            h = self.mlp_mod(h, deterministic=deterministic)
+        else:
+            h = self.mlp_mod(h)
+        h = self.drop(h, deterministic=deterministic)
         res = res + h.astype(jnp.float32)
         return res.astype(dtype)
+
+    def step(self, x_t, cache, pos):
+        """One KV-cached decode step (mixer must support .step — the "mha"
+        mixer does; the reference's InferenceParams layer path)."""
+        dtype = x_t.dtype
+        res = x_t.astype(jnp.float32)
+        h = self.norm1(res).astype(dtype)
+        h, cache = self.mixer_mod.step(h, cache, pos)
+        res = res + h.astype(jnp.float32)
+        h = self.norm2(res).astype(dtype)
+        h = self.mlp_mod(h) if not self.moe_kwargs else self.mlp_mod(h, deterministic=True)
+        res = res + h.astype(jnp.float32)
+        return res.astype(dtype), cache
 
 
 class LMBackbone(nn.Module):

@@ -358,3 +358,42 @@ def test_bert_hf_logits_parity():
     got = np.asarray(out)
     valid = np.asarray(mask.numpy(), bool)
     np.testing.assert_allclose(got[valid], ref[valid], atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_gpt2_kv_generation_matches_full_forward():
+    """KV-cached decode (generate_kv) == full-forward generate == HF
+    generate, greedy, with imported GPT-2 weights."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flashfftconv_tpu.models.gpt import GPTLMHeadModel
+    from flashfftconv_tpu.utils.checkpoint_import import import_gpt2_state_dict
+    from flashfftconv_tpu.utils.generation import generate, generate_kv
+
+    cfg = transformers.GPT2Config(
+        vocab_size=96, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    torch.manual_seed(2)
+    hf = transformers.GPT2LMHeadModel(cfg).eval()
+    prompt = torch.randint(0, 96, (2, 9))
+    with torch.no_grad():
+        ref = hf.generate(prompt, max_new_tokens=7, do_sample=False,
+                          pad_token_id=0).numpy()
+
+    params, _ = import_gpt2_state_dict(hf.state_dict(), n_layer=2)
+    model = GPTLMHeadModel(
+        d_model=32, n_layer=2, d_inner=128, vocab_size=96, l_max=64,
+        num_heads=4, embed_dropout=0.0, resid_dropout=0.0, dtype=jnp.float32,
+    )
+    ids = jnp.asarray(prompt.numpy())
+    out_kv = generate_kv(model, params, ids, max_new_tokens=7, max_length=64,
+                         temperature=0.0)
+    out_full = generate(model.apply, params, ids, max_new_tokens=7,
+                        max_length=64, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(out_kv), ref)
+    np.testing.assert_array_equal(np.asarray(out_full), ref)

@@ -289,3 +289,22 @@ def test_causality_leakage(rng):
 
     assert all(v == 0.0 for v in causality_leakage(causal, x).values())
     assert max(causality_leakage(acausal, x).values()) > 0.1
+
+
+def test_top_p_sampling_filters_tail(rng):
+    """top_p keeps only the nucleus: with a sharply peaked distribution and
+    small top_p, sampling always returns the argmax."""
+    import jax
+    from flashfftconv_tpu.utils.generation import sample_logits
+
+    logits = jnp.asarray([[5.0, 1.0, 0.5, 0.0]])
+    for seed in range(8):
+        tok = sample_logits(jax.random.PRNGKey(seed), logits,
+                            temperature=1.0, top_p=0.5)
+        assert int(tok[0]) == 0
+    # top_p=1-eps keeps everything: over many draws other tokens appear
+    seen = {int(sample_logits(jax.random.PRNGKey(s),
+                              jnp.asarray([[0.1, 0.0, 0.0, 0.0]]),
+                              temperature=2.0, top_p=0.999)[0])
+            for s in range(64)}
+    assert len(seen) > 1
