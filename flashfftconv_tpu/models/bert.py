@@ -174,12 +174,14 @@ class BertLayer(nn.Module):
     num_heads: int
     dropout: float = 0.1
     impl: str = "auto"
+    alibi: bool = False  # ALiBi instead of learned positions (the reference
+    # M2-BERT encoder option, examples/bert/bert_layers.py:286-310)
 
     @nn.compact
     def __call__(self, x, segment_ids=None, deterministic: bool = True):
         h = MHAOperator(
             d_model=self.d_model, num_heads=self.num_heads, causal=False,
-            impl=self.impl, name="mixer",
+            impl=self.impl, alibi=self.alibi, name="mixer",
         )(x, deterministic=deterministic, segment_ids=segment_ids)
         h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
@@ -211,6 +213,8 @@ class BertModel(nn.Module):
     dropout: float = 0.1
     with_pooler: bool = True
     impl: str = "auto"
+    alibi: bool = False  # ALiBi relative-position bias in every layer; the
+    # learned absolute position table is skipped (bert_layers.py ALiBi mode)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -227,9 +231,10 @@ class BertModel(nn.Module):
             embed = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype,
                              name="word_embeddings")
         x = embed(input_ids)
-        pos = jnp.arange(l)[None]
-        x = x + nn.Embed(self.l_max, self.d_model, dtype=self.dtype,
-                         name="position_embeddings")(pos)
+        if not self.alibi:
+            pos = jnp.arange(l)[None]
+            x = x + nn.Embed(self.l_max, self.d_model, dtype=self.dtype,
+                             name="position_embeddings")(pos)
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
         x = x + nn.Embed(self.type_vocab_size, self.d_model, dtype=self.dtype,
@@ -247,7 +252,7 @@ class BertModel(nn.Module):
             x = BertLayer(
                 d_model=self.d_model, d_inner=self.d_inner,
                 num_heads=self.num_heads, dropout=self.dropout,
-                impl=self.impl, name=f"layer_{i}",
+                impl=self.impl, alibi=self.alibi, name=f"layer_{i}",
             )(x, segment_ids=segment_ids, deterministic=deterministic)
 
         pooled = None

@@ -611,3 +611,22 @@ def test_ssm_inits_and_shift_kernel(rng):
         np.asarray(k)[..., :8], np.asarray(v["params"]["C"]), atol=1e-5
     )
     np.testing.assert_allclose(np.asarray(k)[..., 8:], 0.0, atol=1e-6)
+
+
+def test_bert_alibi_mode(rng):
+    """ALiBi BERT: no learned position table, translation-consistent bias
+    (the reference M2-BERT encoder's ALiBi option)."""
+    import jax
+
+    from flashfftconv_tpu.models.bert import BertModel
+
+    model = BertModel(vocab_size=64, d_model=32, n_layer=2, d_inner=64,
+                      num_heads=4, l_max=32, dropout=0.0, alibi=True,
+                      with_pooler=False)
+    ids = jnp.asarray(rng.integers(0, 64, size=(2, 16)))
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    assert not any("position_embeddings" in "/".join(str(k) for k in path)
+                   for path, _ in flat)
+    h, _ = model.apply(variables, ids)
+    assert h.shape == (2, 16, 32) and np.isfinite(np.asarray(h)).all()
