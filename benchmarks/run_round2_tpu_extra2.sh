@@ -29,4 +29,8 @@ echo "=== stage I: flash-attention hardware checks ==="
 timeout 3600 python benchmarks/tpu_attention.py > /tmp/r2_attn.log 2>&1
 echo "attention rc=$? ($(date))"
 
+echo "=== stage II: attention benchmark sweep ==="
+timeout 5400 python benchmarks/benchmark_attention.py > /tmp/r2_attn_bench.log 2>&1
+echo "attention bench rc=$? ($(date))"
+
 echo "EXTRA2 ALL DONE $(date)"
