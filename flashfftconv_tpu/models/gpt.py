@@ -43,6 +43,7 @@ class GPTLMHeadModel(nn.Module):
 
     mixer_kwargs: dict | None = None  # extra MHAOperator options (rotary,
     # alibi, window, ...) merged over the defaults
+    remat: bool = False  # per-block gradient checkpointing (jax.checkpoint)
 
     def setup(self):
         vocab = self.vocab_size
@@ -69,8 +70,9 @@ class GPTLMHeadModel(nn.Module):
             )
         mk = dict({"num_heads": self.num_heads, "causal": True},
                   **(self.mixer_kwargs or {}))
+        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
         self.blocks = [
-            Block(
+            block_cls(
                 d_model=self.d_model,
                 d_inner=self.d_inner,
                 mixer="mha",
@@ -98,7 +100,7 @@ class GPTLMHeadModel(nn.Module):
         x = x + self.pos[:l].astype(self.dtype)
         x = self.embed_drop(x, deterministic=deterministic)
         for blk in self.blocks:
-            x = blk(x, deterministic=deterministic)
+            x = blk(x, deterministic)
         return self._head(x)
 
     # ---- KV-cached incremental decoding (the reference's InferenceParams

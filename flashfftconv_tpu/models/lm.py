@@ -144,6 +144,10 @@ class LMBackbone(nn.Module):
     resid_dropout: float = 0.0
     mlp_nblocks: int = 0
     moe_kwargs: dict | None = None
+    remat: bool = False  # gradient checkpointing per block (the reference
+    # trains HyenaDNA under torch checkpoint wrappers — the ".mixer.layer"
+    # key injection huggingface.py:28-46 is their artifact; here it is
+    # jax.checkpoint, trading recompute for activation memory)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -156,8 +160,9 @@ class LMBackbone(nn.Module):
         x = nn.Dropout(rate=self.embed_dropout)(x, deterministic=deterministic)
         mixer_kwargs = dict(self.mixer_kwargs or {})
         mixer_kwargs.setdefault("l_max", self.l_max)
+        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
         for i in range(self.n_layer):
-            x = Block(
+            x = block_cls(
                 d_model=self.d_model,
                 d_inner=self.d_inner,
                 mixer=self.mixer,
@@ -166,7 +171,7 @@ class LMBackbone(nn.Module):
                 mlp_nblocks=self.mlp_nblocks,
                 moe_kwargs=self.moe_kwargs,
                 name=f"block_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
 
 
@@ -184,6 +189,7 @@ class ConvLMHeadModel(nn.Module):
     resid_dropout: float = 0.0
     mlp_nblocks: int = 0
     moe_kwargs: dict | None = None
+    remat: bool = False
     pad_vocab_size_multiple: int = 8
     dtype: Any = jnp.bfloat16
 
@@ -205,6 +211,7 @@ class ConvLMHeadModel(nn.Module):
             resid_dropout=self.resid_dropout,
             mlp_nblocks=self.mlp_nblocks,
             moe_kwargs=self.moe_kwargs,
+            remat=self.remat,
             dtype=self.dtype,
             name="backbone",
         )

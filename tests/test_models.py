@@ -630,3 +630,29 @@ def test_bert_alibi_mode(rng):
                    for path, _ in flat)
     h, _ = model.apply(variables, ids)
     assert h.shape == (2, 16, 32) and np.isfinite(np.asarray(h)).all()
+
+
+def test_remat_matches_unrematted(rng):
+    """remat=True (gradient checkpointing, the reference's torch checkpoint
+    wrappers) changes memory, not values: loss and grads match exactly."""
+    import jax
+
+    from flashfftconv_tpu.models.lm import ConvLMHeadModel
+
+    ids = jnp.asarray(rng.integers(0, 32, size=(2, 64)))
+    kwargs = dict(d_model=32, n_layer=2, d_inner=64, vocab_size=32, l_max=64,
+                  mixer="hyena", embed_dropout=0.0, resid_dropout=0.0,
+                  dtype=jnp.float32)
+    m0 = ConvLMHeadModel(**kwargs)
+    m1 = ConvLMHeadModel(**kwargs, remat=True)
+    params = m0.init(jax.random.PRNGKey(0), ids)["params"]
+
+    def loss(model, p):
+        lg = model.apply({"params": p}, ids)
+        return jnp.mean(lg.astype(jnp.float32) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
