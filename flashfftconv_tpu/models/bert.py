@@ -28,6 +28,8 @@ class M2BertLayer(nn.Module):
     dropout: float = 0.1
     bidirectional: bool = True
     residual_long_conv: bool = True
+    use_glu_mlp: bool = False  # gated-linear-unit MLP (the reference's
+    # BertGatedLinearUnitMLP, bert_layers.py:169-219)
     conv_dtype: Any = jnp.bfloat16
     impl: str = "auto"
 
@@ -52,8 +54,13 @@ class M2BertLayer(nn.Module):
             if self.mlp_nblocks
             else nn.Dense(f, dtype=x.dtype, name=name)
         )
-        m = dense(self.d_inner, "mlp_fc1")(x)
-        m = nn.gelu(m.astype(jnp.float32)).astype(x.dtype)
+        if self.use_glu_mlp:
+            gv = dense(2 * self.d_inner, "mlp_fc1")(x)
+            gate, val = jnp.split(gv, 2, axis=-1)
+            m = (nn.gelu(gate.astype(jnp.float32)) * val.astype(jnp.float32)).astype(x.dtype)
+        else:
+            m = dense(self.d_inner, "mlp_fc1")(x)
+            m = nn.gelu(m.astype(jnp.float32)).astype(x.dtype)
         m = dense(self.d_model, "mlp_fc2")(m)
         m = nn.Dropout(rate=self.dropout)(m, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
@@ -303,3 +310,74 @@ class BertForMaskedLM(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, name="mlm_norm")(h)
         bias = self.param("mlm_bias", nn.initializers.zeros, (self.vocab_size,))
         return embed.attend(h.astype(embed.dtype)).astype(jnp.float32) + bias
+
+
+class BertForSequenceClassification(nn.Module):
+    """BERT + pooled classification head (the reference's
+    BertForSequenceClassification, bert_layers.py:761)."""
+
+    num_labels: int
+    vocab_size: int
+    d_model: int = 768
+    n_layer: int = 12
+    d_inner: int = 3072
+    num_heads: int = 12
+    l_max: int = 512
+    type_vocab_size: int = 2
+    dropout: float = 0.1
+    alibi: bool = False
+    impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, attention_mask=None,
+                 deterministic: bool = True):
+        _, pooled = BertModel(
+            vocab_size=self.vocab_size, d_model=self.d_model,
+            n_layer=self.n_layer, d_inner=self.d_inner,
+            num_heads=self.num_heads, l_max=self.l_max,
+            type_vocab_size=self.type_vocab_size, dropout=self.dropout,
+            with_pooler=True, alibi=self.alibi, impl=self.impl,
+            dtype=self.dtype, name="bert",
+        )(input_ids, token_type_ids, attention_mask, deterministic)
+        h = nn.Dropout(rate=self.dropout)(pooled, deterministic=deterministic)
+        return nn.Dense(self.num_labels, dtype=jnp.float32, name="classifier")(h)
+
+
+class BertForPreTraining(nn.Module):
+    """BERT + MLM and next-sentence-prediction heads (the reference's
+    BertPreTrainingHeads / BertForPreTraining,
+    flash_attn/models/bert.py:238-365). Returns (mlm_logits, nsp_logits)."""
+
+    vocab_size: int
+    d_model: int = 768
+    n_layer: int = 12
+    d_inner: int = 3072
+    num_heads: int = 12
+    l_max: int = 512
+    type_vocab_size: int = 2
+    dropout: float = 0.1
+    impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, attention_mask=None,
+                 deterministic: bool = True):
+        embed = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype,
+                         name="word_embeddings")
+        h, pooled = BertModel(
+            vocab_size=self.vocab_size, d_model=self.d_model,
+            n_layer=self.n_layer, d_inner=self.d_inner,
+            num_heads=self.num_heads, l_max=self.l_max,
+            type_vocab_size=self.type_vocab_size, dropout=self.dropout,
+            with_pooler=True, impl=self.impl, dtype=self.dtype, name="bert",
+        )(input_ids, token_type_ids, attention_mask, deterministic, embed=embed)
+        t = nn.Dense(self.d_model, dtype=jnp.float32, name="mlm_transform")(
+            h.astype(jnp.float32)
+        )
+        t = _gelu_exact(t)
+        t = nn.LayerNorm(epsilon=1e-5, name="mlm_norm")(t)
+        bias = self.param("mlm_bias", nn.initializers.zeros, (self.vocab_size,))
+        mlm = embed.attend(t.astype(embed.dtype)).astype(jnp.float32) + bias
+        nsp = nn.Dense(2, dtype=jnp.float32, name="nsp_head")(pooled)
+        return mlm, nsp

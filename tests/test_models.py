@@ -656,3 +656,41 @@ def test_remat_matches_unrematted(rng):
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_bert_heads_and_glu(rng):
+    """BertForSequenceClassification / BertForPreTraining heads and the M2
+    GLU MLP option run forward + grad."""
+    import jax
+
+    from flashfftconv_tpu.models.bert import (
+        BertForPreTraining,
+        BertForSequenceClassification,
+        M2BertLayer,
+    )
+
+    ids = jnp.asarray(rng.integers(0, 48, size=(2, 16)))
+    cls = BertForSequenceClassification(
+        num_labels=3, vocab_size=48, d_model=32, n_layer=1, d_inner=64,
+        num_heads=4, l_max=16, dropout=0.0)
+    v = cls.init(jax.random.PRNGKey(0), ids)
+    out = cls.apply(v, ids)
+    assert out.shape == (2, 3)
+
+    pre = BertForPreTraining(
+        vocab_size=48, d_model=32, n_layer=1, d_inner=64, num_heads=4,
+        l_max=16, dropout=0.0)
+    v = pre.init(jax.random.PRNGKey(0), ids)
+    mlm, nsp = pre.apply(v, ids)
+    assert mlm.shape == (2, 16, 48) and nsp.shape == (2, 2)
+    g = jax.grad(lambda p: jnp.sum(pre.apply({"params": p}, ids)[0] ** 2))(
+        v["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 32)).astype(np.float32))
+    layer = M2BertLayer(d_model=32, d_inner=64, l_max=16, mlp_nblocks=0,
+                        dropout=0.0, use_glu_mlp=True, conv_dtype=jnp.float32)
+    v = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(v, x)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+    assert v["params"]["mlp_fc1"]["kernel"].shape[-1] == 128  # 2 * d_inner
