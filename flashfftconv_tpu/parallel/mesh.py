@@ -28,9 +28,10 @@ def make_mesh(
 ) -> Mesh:
     """Create a Mesh over the available devices.
 
-    With the default axis_sizes=None, all devices go to 'dp' except a best
-    -effort 'tp' factor of min(n, largest power of two <= sqrt(n))... kept
-    simple: dp = n // tp, tp = 1 unless specified.
+    With the default axis_sizes=None, ALL devices go to the first axis
+    (typically 'dp') and every other axis gets size 1. Pass explicit
+    axis_sizes for tp/pp/ep splits; their product must equal the device
+    count.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)

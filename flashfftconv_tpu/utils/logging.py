@@ -17,9 +17,19 @@ from typing import Any
 class MetricLogger:
     def __init__(self, logdir: str = "./logs", run_name: str | None = None,
                  use_wandb: bool = False, config: dict | None = None):
-        os.makedirs(logdir, exist_ok=True)
-        run_name = run_name or time.strftime("run-%Y%m%d-%H%M%S")
-        self.path = os.path.join(logdir, f"{run_name}.jsonl")
+        # `logdir` may also be an exact .jsonl file path (the examples pass
+        # --log-file straight through); a directory named "foo.jsonl" with
+        # the real log buried inside is never what anyone wants.
+        if logdir.endswith(".jsonl"):
+            parent = os.path.dirname(logdir)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+            self.path = logdir
+            run_name = run_name or os.path.splitext(os.path.basename(logdir))[0]
+        else:
+            os.makedirs(logdir, exist_ok=True)
+            run_name = run_name or time.strftime("run-%Y%m%d-%H%M%S")
+            self.path = os.path.join(logdir, f"{run_name}.jsonl")
         self._wandb = None
         if use_wandb:
             try:
