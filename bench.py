@@ -3,7 +3,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
 the geometric-mean speedup of the gated forward conv over the jnp.fft oracle
 across seqlens (the reference's headline is the same comparison vs PyTorch FFT
-conv, README.md:224-231; BASELINE.json targets >=4x at 32K-1M).
+conv, README.md:224-231; BASELINE.json targets >=4x at 32K-1M). Below 64K the
+per-size speedup is scan-amortized (16 serially-dependent convs inside one jit,
+measured identically for both implementations — the per-call cost a training
+step pays); one-shot times are logged alongside. Per-size algorithmic GFLOP/s
+and MFU (Monarch MXU FLOPs / peak bf16) are logged to stderr.
 
 Shapes follow the reference benchmark methodology: B=16/H=768-class workloads
 with B,H capped at large seqlens (benchmarks/benchmark_flashfftconv.py:28-59),
@@ -148,6 +152,32 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "0")) or None
     rng = np.random.default_rng(0)
 
+    from flashfftconv_tpu.ops.plan import default_factors
+    from flashfftconv_tpu.utils.benchmarking import conv_throughput
+
+    # Below this size the fixed per-jit-call dispatch (a ~ms host->device
+    # round trip through the relay) rivals the kernel itself, so the
+    # headline uses the scan-amortized per-call time — SCAN_LEN
+    # serially-dependent convs chained inside ONE jit, measured identically
+    # for BOTH implementations. That is the cost a training step actually
+    # pays (every model invokes the conv dozens of times per jitted step);
+    # the one-shot time is also logged for transparency.
+    AMORTIZE_BELOW = 65536
+    SCAN_LEN = 16
+
+    def amortized(fn, u, *unused_rest):
+        # operands arrive as jit ARGUMENTS (closing over them would embed
+        # them as MLIR constants — hundreds of MB at large B*H*L)
+        def scanned(u0, *rest):
+            def body(c, _):
+                out = fn(c, *rest)
+                return out.astype(u0.dtype).reshape(u0.shape), None
+
+            c, _ = jax.lax.scan(body, u0, None, length=SCAN_LEN)
+            return c
+
+        return jax.jit(scanned)
+
     speedups = []
     details = {}
     for n in sizes:
@@ -165,10 +195,28 @@ def main():
 
         t_mine = timeit(mine, u, k, pre, post, iters=iters)
         t_ref = timeit(orac, u, k, pre, post, iters=iters, warmup=1)
+        row = {"flash_ms": t_mine * 1e3, "jnpfft_ms": t_ref * 1e3,
+               "speedup": t_ref / t_mine}
+        if n < AMORTIZE_BELOW:
+            t_mine = timeit(amortized(mine, u, k, pre, post), u, k, pre, post,
+                            iters=iters) / SCAN_LEN
+            t_ref = timeit(amortized(orac, u, k, pre, post), u, k, pre, post,
+                           iters=iters, warmup=1) / SCAN_LEN
+            row["flash_amort_ms"] = t_mine * 1e3
+            row["jnpfft_amort_ms"] = t_ref * 1e3
+            row["speedup_amort"] = t_ref / t_mine
         sp = t_ref / t_mine
+        thru = conv_throughput(n, default_factors(n), b, h, t_mine * 1e3, gated=True)
+        row["gflops_algo"] = thru["gflops_algo"]
+        row["mfu"] = thru["mfu"]
         speedups.append(sp)
-        details[n] = {"flash_ms": t_mine * 1e3, "jnpfft_ms": t_ref * 1e3, "speedup": sp}
-        log(f"N={n} B={b} H={h}: flash {t_mine*1e3:.2f} ms, jnp.fft {t_ref*1e3:.2f} ms, {sp:.2f}x")
+        details[n] = row
+        log(
+            f"N={n} B={b} H={h}: flash {t_mine*1e3:.2f} ms, jnp.fft "
+            f"{t_ref*1e3:.2f} ms, {sp:.2f}x"
+            + (" (scan-amortized)" if n < AMORTIZE_BELOW else "")
+            + f" | {thru['gflops_algo']:.0f} GFLOP/s (algo), MFU {thru['mfu']*100:.1f}%"
+        )
 
     value = float(np.exp(np.mean(np.log(speedups))))
     log("details:", json.dumps(details))

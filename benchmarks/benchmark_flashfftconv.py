@@ -22,11 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from flashfftconv_tpu import FlashFFTConv, fft_conv_reference
+from flashfftconv_tpu.ops.plan import default_factors
 from flashfftconv_tpu.utils.benchmarking import (
     benchmark_backward,
     benchmark_forward,
     benchmark_forward_amortized,
     benchmark_memory,
+    conv_throughput,
 )
 
 # Below this size the per-jit-call dispatch cost (fixed ~ms through the axon
@@ -105,11 +107,26 @@ def main():
 
                 row = {"seqlen": n, "func": name, "B": b, "H": h}
                 row["fwd_ms"] = benchmark_forward(fwd, *fargs, repeats=args.repeats) * adjustment
+                # GFLOP/s + MFU from the UNADJUSTED time and the local (b, h)
+                # workload (the adjustment is a linear rescale, so throughput
+                # is the same either way; computing it locally avoids
+                # pretending B_REF fits on the chip).
+                thru = conv_throughput(
+                    n, default_factors(n), b, h,
+                    row["fwd_ms"] / adjustment, gated=gated,
+                )
+                row.update(thru)
                 if n < AMORTIZE_BELOW:
                     row["fwd_amort_ms"] = (
                         benchmark_forward_amortized(fwd, *fargs, repeats=args.repeats)
                         * adjustment
                     )
+                    amort = conv_throughput(
+                        n, default_factors(n), b, h,
+                        row["fwd_amort_ms"] / adjustment, gated=gated,
+                    )
+                    row["gflops_algo_amort"] = amort["gflops_algo"]
+                    row["mfu_amort"] = amort["mfu"]
                 if not args.fwd_only:
                     row["fwd_bwd_ms"] = (
                         benchmark_backward(fwd, *fargs, argnums=argnums, repeats=args.repeats)

@@ -12,6 +12,7 @@ flow, SURVEY.md §5.1).
 from __future__ import annotations
 
 import contextlib
+import math
 import time
 from typing import Callable
 
@@ -90,14 +91,15 @@ def benchmark_forward_amortized(fn: Callable, *args, length: int = 16,
     inside a larger jitted step (the training-loop regime, where every model
     invokes the conv dozens of times per step). Both are honest; they answer
     different questions."""
-    first = args[0]
-
-    def body(c, _):
-        out = fn(c, *args[1:])
-        return out.astype(first.dtype).reshape(first.shape), None
-
     def scanned(u, *rest):
-        c, _ = jax.lax.scan(lambda c, x: body(c, x), u, None, length=length)
+        # operands arrive as jit arguments: closing over them would embed
+        # them as MLIR constants, which XLA may constant-fold (e.g. the
+        # kernel's FFT), making the measurement unfairly fast.
+        def body(c, _):
+            out = fn(c, *rest)
+            return out.astype(u.dtype).reshape(u.shape), None
+
+        c, _ = jax.lax.scan(body, u, None, length=length)
         return c
 
     t = benchmark_forward(scanned, *args, repeats=repeats, warmup=warmup,
@@ -145,6 +147,95 @@ def profile_trace(logdir: str = "/tmp/jax-trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+# --- FLOP models + MFU --------------------------------------------------
+#
+# BASELINE.json's metric is "conv GFLOP/s & speedup"; these give the two
+# throughput numbers the grid and bench.py publish:
+#  * algorithmic GFLOP/s — the textbook FFT-conv work (3 FFTs + pointwise
+#    multiply) divided by wall-clock; comparable across implementations.
+#  * MFU — the MXU matmul FLOPs the Monarch chain actually executes divided
+#    by wall-clock and the chip's peak bf16 FLOP/s; measures how well the
+#    kernels feed the systolic array.
+
+# Peak bf16 FLOP/s per chip by device_kind substring (public spec sheets).
+_TPU_PEAK_BF16 = (
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v5p", 459e12), ("v5", 459e12),
+    ("v4", 275e12),
+)
+
+
+def tpu_peak_flops(device=None) -> float | None:
+    """Peak bf16 FLOP/s of the attached chip, or None if unknown."""
+    import jax
+
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _TPU_PEAK_BF16:
+        if key in kind:
+            return peak
+    return None
+
+
+def fftconv_algo_flops(seqlen: int, b: int, h: int, gated: bool = False) -> float:
+    """Algorithmic FLOPs of one FFT convolution over (b, h) channels:
+    3 complex FFTs at 5*N*log2(N) real FLOPs each (the standard FFT count)
+    plus the 6N pointwise complex spectrum multiply (+2N per gate)."""
+    n = float(seqlen)
+    per_channel = 15.0 * n * math.log2(n) + 6.0 * n + (4.0 * n if gated else 0.0)
+    return per_channel * b * h
+
+
+def monarch_mxu_flops(seqlen: int, factors: tuple[int, ...], b: int, h: int) -> float:
+    """MXU matmul FLOPs the default fused forward dispatch executes per conv
+    (even-B real-pair packing assumed; each complex matmul is 3 real matmuls
+    via Karatsuba — see ops/monarch_pallas.py cmm_left).
+
+    Per real channel:
+      1 factor (direct DFT): 6*N^2           (dense (N,N) DFT + iDFT chain)
+      2 factors (n1, n2):    6*N*(g*n1 + n2) (stage-1 runs as a g-channel
+                              block-diagonal matmul, g = 128//n1, to keep the
+                              MXU contraction depth at 128 — those are real
+                              executed FLOPs, so MFU counts them)
+      3 factors (f0,n1,n2):  6*N*(n1 + n2)   (outer f0-point DFT is unrolled
+                              VPU multiply-adds, not MXU; inner 2-way chain
+                              runs once per outer band)
+      4 factors:             6*N*(n1 + n2 + f00)  (adds the Pallas outer
+                              butterfly matmul over f00)
+    """
+    n = float(seqlen)
+    if len(factors) == 1:
+        per = 6.0 * n * n
+    elif len(factors) == 2:
+        n1, n2 = factors
+        g = max(1, 128 // n1)
+        per = 6.0 * n * (g * n1 + n2)
+    elif len(factors) == 3:
+        _, n1, n2 = factors
+        per = 6.0 * n * (n1 + n2)
+    else:
+        f00, _, n1, n2 = factors
+        per = 6.0 * n * (n1 + n2 + f00)
+    return per * b * h
+
+
+def conv_throughput(seqlen: int, factors: tuple[int, ...], b: int, h: int,
+                    ms: float, gated: bool = False) -> dict:
+    """GFLOP/s + MFU for one measured conv forward: algorithmic GFLOP/s
+    (work / time, implementation-independent) and MFU (executed Monarch MXU
+    FLOPs / time / chip peak bf16)."""
+    secs = ms * 1e-3
+    algo = fftconv_algo_flops(seqlen, b, h, gated=gated)
+    mxu = monarch_mxu_flops(seqlen, factors, b, h)
+    peak = tpu_peak_flops()
+    return {
+        "gflops_algo": algo / secs / 1e9,
+        "gflops_mxu": mxu / secs / 1e9,
+        "mfu": (mxu / secs / peak) if peak else float("nan"),
+    }
 
 
 def flops_estimate(fn: Callable, *args) -> float:
