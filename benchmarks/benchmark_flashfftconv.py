@@ -66,12 +66,17 @@ def main():
     p.add_argument("--no-ref", action="store_true", help="skip jnp.fft baseline")
     p.add_argument("--csv", default="")
     p.add_argument("--repeats", type=int, default=10)
+    p.add_argument("--repeats-huge", type=int, default=3,
+                   help="repeats for seqlen >= 1M (a 4M bwd call is ~100 ms-"
+                        "scale; the auto-scaling timer would otherwise spend "
+                        "minutes per cell)")
     args = p.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     rng = np.random.default_rng(0)
 
     rows = []
     for n in sizes:
+        repeats = args.repeats if n < 1048576 else args.repeats_huge
         b, h = set_b_h(n)
         adjustment = (B_REF * H_REF) / (b * h)
         conv = FlashFFTConv(n, dtype=jnp.bfloat16, impl=args.impl)
@@ -106,7 +111,7 @@ def main():
                     argnums = (0, 1)
 
                 row = {"seqlen": n, "func": name, "B": b, "H": h}
-                row["fwd_ms"] = benchmark_forward(fwd, *fargs, repeats=args.repeats) * adjustment
+                row["fwd_ms"] = benchmark_forward(fwd, *fargs, repeats=repeats) * adjustment
                 # GFLOP/s + MFU from the UNADJUSTED time and the local (b, h)
                 # workload (the adjustment is a linear rescale, so throughput
                 # is the same either way; computing it locally avoids
@@ -118,7 +123,7 @@ def main():
                 row.update(thru)
                 if n < AMORTIZE_BELOW:
                     row["fwd_amort_ms"] = (
-                        benchmark_forward_amortized(fwd, *fargs, repeats=args.repeats)
+                        benchmark_forward_amortized(fwd, *fargs, repeats=repeats)
                         * adjustment
                     )
                     amort = conv_throughput(
@@ -129,7 +134,7 @@ def main():
                     row["mfu_amort"] = amort["mfu"]
                 if not args.fwd_only:
                     row["fwd_bwd_ms"] = (
-                        benchmark_backward(fwd, *fargs, argnums=argnums, repeats=args.repeats)
+                        benchmark_backward(fwd, *fargs, argnums=argnums, repeats=repeats)
                         * adjustment
                     )
                     row["mem_mb"] = benchmark_memory(fwd, *fargs)
@@ -140,12 +145,12 @@ def main():
                         else (lambda u, k: fft_conv_reference(n, u, k))
                     )
                     row["ref_fwd_ms"] = (
-                        benchmark_forward(ref, *fargs, repeats=args.repeats) * adjustment
+                        benchmark_forward(ref, *fargs, repeats=repeats) * adjustment
                     )
                     row["speedup"] = row["ref_fwd_ms"] / row["fwd_ms"]
                     if n < AMORTIZE_BELOW:
                         row["ref_fwd_amort_ms"] = (
-                            benchmark_forward_amortized(ref, *fargs, repeats=args.repeats)
+                            benchmark_forward_amortized(ref, *fargs, repeats=repeats)
                             * adjustment
                         )
                         row["speedup_amort"] = (
@@ -161,16 +166,23 @@ def main():
                     ),
                     flush=True,
                 )
+                if args.csv:
+                    _write_csv(args.csv, rows)  # incremental: a crash at 4M
+                    # must not lose hours of completed rows
 
     if args.csv:
-        import csv
-
-        keys = sorted({k for r in rows for k in r})
-        with open(args.csv, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=keys)
-            w.writeheader()
-            w.writerows(rows)
+        _write_csv(args.csv, rows)
         print(f"wrote {args.csv}")
+
+
+def _write_csv(path, rows):
+    import csv
+
+    keys = sorted({k for r in rows for k in r})
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        w.writerows(rows)
 
 
 if __name__ == "__main__":

@@ -159,20 +159,12 @@ def _conv_kernel(
 
 _H_TILE = 8  # minimum channels per grid step in the fused-I/O kernels
 
-# Natural-I/O butterfly (whole (f00, R) channel per step): disabled.
-# Measured: Mosaic's scoped-VMEM accounting for the unrolled band loop
-# exceeds the 16 MB limit even at 512K (22.25 M) — the f32 staging plus
-# double-buffered I/O blocks plus per-band temporaries don't fit. The
-# XLA relayout copies it would remove are bandwidth-efficient (~0.5 ms per
-# 201 MB plane at 1M), so the fallback is acceptable. Code kept for
-# experiments on parts with bigger VMEM.
-_NAT_BUTTERFLY_MAX = 0
-
-# Natural-I/O for the 3-factor fused long kernel / spectrum tiles: measured
-# SLOWER than the XLA relayout copies at 262K on v5e (5.18 vs 3.62 ms —
-# the per-channel (L,) -> (rows, 128) lane->sublane shuffle is VPU-heavy at
-# these lengths), so it stays off; the code path is kept for experiments.
-_NAT_LONG_IO = False
+# Natural-I/O variants (in-kernel (L,) <-> Monarch relayout instead of an
+# XLA reshape) were built, measured, and REMOVED: see docs/DESIGN.md
+# "Measured alternatives" for the numbers (VPU lane->sublane shuffles lose
+# to XLA's bandwidth-efficient relayout copies at >=64K; the whole-channel
+# butterfly variant exceeds Mosaic's 16 MB scoped-VMEM accounting). The
+# code is in git history (grep _NAT_BUTTERFLY_MAX).
 
 
 def _group_size(n1: int) -> int:
@@ -479,11 +471,11 @@ def _spectrum_tiles(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("factors", "compute_dtype", "out_dtype", "complex_in", "natural"),
+    static_argnames=("factors", "compute_dtype", "out_dtype", "complex_in"),
 )
 def _fwd_dft_tiles(
     x_re, x_im, c0_re, c0_im, w0_re, w0_im, tables5,
-    factors, compute_dtype, out_dtype, complex_in, natural=False,
+    factors, compute_dtype, out_dtype, complex_in,
 ):
     """Fused 3-stage forward Monarch DFT over (C, f0, n1, n2) tiles: outer
     f0-point DFT across chunks + outer twiddle + per-chunk (n1, n2) 2-way DFT,
@@ -496,22 +488,11 @@ def _fwd_dft_tiles(
     step, conv.py:573-575.)
     """
     f0, n1, n2 = factors
-    if natural:
-        # real (C, L) input, L % n2 == 0: the (L,) -> (f0, n1, n2) relayout
-        # and zero-pad happen in VMEM (an XLA reshape would materialize an
-        # HBM copy of the full input per call). Singleton sublane axis keeps
-        # the block shape legal for Mosaic.
-        c, length = x_re.shape
-        assert length % n2 == 0 and not complex_in
-        x_re = x_re.reshape(c, 1, length)
-        tile = pl.BlockSpec((1, 1, length), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    else:
-        c, f0_, n1_, n2_ = x_re.shape
-        assert factors == (f0_, n1_, n2_)
-        length = None
-        tile = pl.BlockSpec(
-            (1, f0, n1, n2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        )
+    c, f0_, n1_, n2_ = x_re.shape
+    assert factors == (f0_, n1_, n2_)
+    tile = pl.BlockSpec(
+        (1, f0, n1, n2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
     # Bands emitted = rows of the outer DFT table (f0, or f0//2+1 when the
     # caller passes half-band rfft tables for real input).
     bands = c0_re.shape[0]
@@ -555,14 +536,7 @@ def _fwd_dft_tiles(
         f1s_m = f1r_m + f1i_m  # Karatsuba sum tables
         f2s_m = f2r_m + f2i_m
 
-        if natural:
-            rows_t = length // n2
-            v = xr_ref[0, 0].astype(jnp.float32).reshape(rows_t, n2)
-            if rows_t < f0 * n1:
-                v = jnp.pad(v, ((0, f0 * n1 - rows_t), (0, 0)))
-            v3 = v.reshape(f0, n1, n2)
-            xs = [(v3[cc], None) for cc in range(f0)]
-        elif complex_in:
+        if complex_in:
             xs = [
                 (xr_ref[0, cc].astype(jnp.float32), xi_ref[0, cc].astype(jnp.float32))
                 for cc in range(f0)
@@ -606,11 +580,11 @@ def _fwd_dft_tiles(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("factors", "compute_dtype", "out_dtype", "real_out", "natural"),
+    static_argnames=("factors", "compute_dtype", "out_dtype", "real_out"),
 )
 def _inv_dft_tiles(
     x_re, x_im, ic0_re, ic0_im, w0_re, w0_im, tables5,
-    factors, compute_dtype, out_dtype, real_out, natural=None,
+    factors, compute_dtype, out_dtype, real_out,
 ):
     """Inverse of _fwd_dft_tiles: (C, f0, n1, n2) planar Monarch-layout
     spectrum -> natural-chunk-layout signal, one channel per grid step.
@@ -689,31 +663,15 @@ def _inv_dft_tiles(
                 if not real_out:
                     ti = zr * ci + zi * cr
                     acc_im = ti if acc_im is None else acc_im + ti
-            if natural is not None:
-                # natural-layout (C, 1, L) store with in-kernel truncation
-                rows_t = natural // n2
-                lo, hi = cc * n1, min((cc + 1) * n1, rows_t)
-                if hi > lo:
-                    or_ref[0, 0, lo * n2 : hi * n2] = (
-                        acc_re[: hi - lo].reshape((hi - lo) * n2).astype(or_ref.dtype)
-                    )
-            else:
-                or_ref[0, cc] = acc_re.astype(or_ref.dtype)
-                if not real_out:
-                    oi_ref[0, cc] = acc_im.astype(oi_ref.dtype)
+            or_ref[0, cc] = acc_re.astype(or_ref.dtype)
+            if not real_out:
+                oi_ref[0, cc] = acc_im.astype(oi_ref.dtype)
 
-    if natural is not None:
-        assert real_out
-        out_shape = [jax.ShapeDtypeStruct((c, 1, natural), out_dtype)]
-        out_specs = [
-            pl.BlockSpec((1, 1, natural), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        ]
-    else:
-        out_shape = [jax.ShapeDtypeStruct((c, f0, n1, n2), out_dtype)]
-        out_specs = [tile]
-        if not real_out:
-            out_shape.append(jax.ShapeDtypeStruct((c, f0, n1, n2), out_dtype))
-            out_specs.append(tile)
+    out_shape = [jax.ShapeDtypeStruct((c, f0, n1, n2), out_dtype)]
+    out_specs = [tile]
+    if not real_out:
+        out_shape.append(jax.ShapeDtypeStruct((c, f0, n1, n2), out_dtype))
+        out_specs.append(tile)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -727,8 +685,6 @@ def _inv_dft_tiles(
             transcendentals=0,
         ),
     )(*inputs)
-    if natural is not None:
-        return outs.reshape(c, natural), None
     if real_out:
         return outs, None
     return outs[0], outs[1]
@@ -789,13 +745,6 @@ def _forward_long_dft(plan: FftPlan, x2: jax.Array, half: bool = False):
     if len(plan.factors) == 3:
         f0, n1, n2 = plan.factors
         c0r, c0i, w0r, w0i, tables5 = _spectrum_tables(plan, 0, half=half)
-        if _NAT_LONG_IO and x2.shape[-1] % n2 == 0:
-            # natural-layout input: relayout + zero-pad in-kernel
-            return _fwd_dft_tiles(
-                x2, None, c0r, c0i, w0r, w0i, tables5,
-                factors=plan.factors, compute_dtype=plan.compute_dtype_name,
-                out_dtype=out_dtype, complex_in=False, natural=True,
-            )
         if x2.shape[-1] < n:
             x2 = jnp.pad(x2, ((0, 0), (0, n - x2.shape[-1])))
         return _fwd_dft_tiles(
@@ -808,32 +757,18 @@ def _forward_long_dft(plan: FftPlan, x2: jax.Array, half: bool = False):
     r = n // f00
     rt = r // 128
     io = jnp.bfloat16 if plan.compute_dtype != jnp.float32 else jnp.float32
-    if x2.shape[-1] % r == 0 and n <= _NAT_BUTTERFLY_MAX:
-        bre, bim = _butterfly_nat_tiles(
-            x2[None], None,
-            plan.dft_re[0][:fb], plan.dft_im[0][:fb],
-            plan.tw_re[0].reshape(f00, rt, 128)[:fb],
-            plan.tw_im[0].reshape(f00, rt, 128)[:fb],
-            factors=plan.factors,
-            compute_dtype=plan.compute_dtype,
-            io_dtype=io,
-            packed=False,
-            inverse=False,
-            length=x2.shape[-1],
-        )
-    else:
-        if x2.shape[-1] < n:
-            x2 = jnp.pad(x2, ((0, 0), (0, n - x2.shape[-1])))
-        bre, bim = _butterfly_tiles(
-            x2.reshape(1, h, f00, rt, 128), None,
-            plan.dft_re[0][:fb], plan.dft_im[0][:fb],
-            plan.tw_re[0].reshape(f00, rt, 128)[:fb],
-            plan.tw_im[0].reshape(f00, rt, 128)[:fb],
-            compute_dtype=plan.compute_dtype,
-            io_dtype=io,
-            packed=False,
-            inverse=False,
-        )
+    if x2.shape[-1] < n:
+        x2 = jnp.pad(x2, ((0, 0), (0, n - x2.shape[-1])))
+    bre, bim = _butterfly_tiles(
+        x2.reshape(1, h, f00, rt, 128), None,
+        plan.dft_re[0][:fb], plan.dft_im[0][:fb],
+        plan.tw_re[0].reshape(f00, rt, 128)[:fb],
+        plan.tw_im[0].reshape(f00, rt, 128)[:fb],
+        compute_dtype=plan.compute_dtype,
+        io_dtype=io,
+        packed=False,
+        inverse=False,
+    )
     c0r, c0i, w0r, w0i, tables5 = _spectrum_tables(plan, 1)
     kfr, kfi = _fwd_dft_tiles(
         bre.reshape(h * fb, f0, n1, n2),
@@ -865,9 +800,8 @@ def _inverse_long_dft(plan: FftPlan, xre: jax.Array, xim: jax.Array, half: bool 
             xre.astype(io), xim.astype(io), ic0r, ic0i, w0r, w0i, tables5,
             factors=plan.factors, compute_dtype=plan.compute_dtype_name,
             out_dtype=jnp.float32, real_out=True,
-            natural=n if _NAT_LONG_IO else None,
         )
-        return o if _NAT_LONG_IO else o.reshape(h, n)
+        return o.reshape(h, n)
     f00, f0, n1, n2 = plan.factors
     fb = _half_bands(f00) if half else f00
     r = n // f00
@@ -886,21 +820,6 @@ def _inverse_long_dft(plan: FftPlan, xre: jax.Array, xim: jax.Array, half: bool 
         bic0i = plan.idft_im[0][:, :fb] * wts
     else:
         bic0r, bic0i = plan.idft_re[0], plan.idft_im[0]
-    if n <= _NAT_BUTTERFLY_MAX:
-        o, _ = _butterfly_nat_tiles(
-            zre.reshape(1, h, fb, f0, n1, n2),
-            zim.reshape(1, h, fb, f0, n1, n2),
-            bic0r, bic0i,
-            plan.tw_re[0].reshape(f00, rt, 128)[:fb],
-            plan.tw_im[0].reshape(f00, rt, 128)[:fb],
-            factors=plan.factors,
-            compute_dtype=plan.compute_dtype,
-            io_dtype=jnp.float32,
-            packed=False,
-            inverse=True,
-            length=n,
-        )
-        return o.reshape(h, n)
     o, _ = _butterfly_tiles(
         zre.reshape(1, h, fb, rt, 128),
         zim.reshape(1, h, fb, rt, 128),
@@ -1402,7 +1321,6 @@ def _long_kernel(
     complex_io,
     has_pre=False,
     has_post=False,
-    natural=None,
 ):
     """Fully-fused long convolution for one (b, h): outer f0-point DFT
     (unrolled VPU multiply-adds — f0 <= 16), outer twiddle, per-chunk inner
@@ -1457,30 +1375,7 @@ def _long_kernel(
             v = v * pre_ref[row, 0, c].astype(jnp.float32)
         return v
 
-    if natural is not None:
-        # Real I/O straight from the (rows, 1, 1, L) natural-layout block
-        # (the singleton sublane axis satisfies Mosaic's block-shape rule):
-        # the (L,) -> (f0, n1, n2) relayout, zero-pad and in-gate all happen
-        # in VMEM — the XLA-level reshape would otherwise materialize a full
-        # HBM copy of u (and each gate) per call.
-        length, n1_, n2_ = natural
-        rows_t = length // n2_
-
-        def nat_load(row):
-            v = u_ref[row, 0, 0].astype(jnp.float32).reshape(rows_t, n2_)
-            if pre_ref is not None:
-                v = v * pre_ref[row, 0, 0].astype(jnp.float32).reshape(rows_t, n2_)
-            if rows_t < f0 * n1_:
-                v = jnp.pad(v, ((0, f0 * n1_ - rows_t), (0, 0)))
-            return v.reshape(f0, n1_, n2_)
-
-        if packed:
-            a3, b3 = nat_load(0), nat_load(1)
-            xs = [(a3[c], b3[c]) for c in range(f0)]
-        else:
-            a3 = nat_load(0)
-            xs = [(a3[c], None) for c in range(f0)]
-    elif packed:
+    if packed:
         xs = [(in_chunk(0, c), in_chunk(1, c)) for c in range(f0)]
     elif complex_io:
         xs = [
@@ -1545,26 +1440,7 @@ def _long_kernel(
             if packed or complex_io:
                 ti = zr * ci + zi * cr
                 acc_im = ti if acc_im is None else acc_im + ti
-        if natural is not None:
-            # store chunk c back into the (rows, 1, L) natural block,
-            # truncating in-kernel (fused out-gate on the valid region)
-            length, n1_, n2_ = natural
-            rows_t = length // n2_
-            lo = c * n1_
-            hi = min((c + 1) * n1_, rows_t)
-            if hi <= lo:
-                continue
-
-            def nat_store(row, vals):
-                v = vals[: hi - lo].reshape((hi - lo) * n2_)
-                if post_ref is not None:
-                    v = v * post_ref[row, 0, 0, lo * n2_ : hi * n2_].astype(jnp.float32)
-                o_ref[row, 0, 0, lo * n2_ : hi * n2_] = v.astype(o_ref.dtype)
-
-            nat_store(0, acc_re)
-            if packed:
-                nat_store(1, acc_im)
-        elif packed:
+        if packed:
             if post_ref is not None:  # fused out-gate
                 acc_re = acc_re * post_ref[0, 0, c].astype(jnp.float32)
                 acc_im = acc_im * post_ref[1, 0, c].astype(jnp.float32)
@@ -1582,45 +1458,23 @@ def _long_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "factors", "compute_dtype", "io_dtype", "packed", "complex_io", "natural_io"
+        "factors", "compute_dtype", "io_dtype", "packed", "complex_io"
     ),
 )
 def _long_tiles(
     u5_re, u5_im, kf_re, kf_im, outer_tables, inner_tables,
     factors, compute_dtype, io_dtype, packed, complex_io,
-    pregate=None, postgate=None, natural_io=False,
+    pregate=None, postgate=None,
 ):
     """Run the fused long kernel over (B, H, f0, N1, N2) tiles. Optional
     pre/post gates (same shape/layout as the real-side input) are fused
     into the load/store — the analog of the reference's gated kernel
-    entry points (GatedFlashFFTConvFunc, conv.py:3262-3268).
-
-    natural_io=True: real I/O arrives as (B, H, L) with L % n2 == 0 and the
-    (L,) <-> (f0, n1, n2) relayout, zero-pad, truncation and gating all
-    happen in-kernel — the XLA reshape would otherwise materialize full HBM
-    copies of u, both gates and the output per call."""
+    entry points (GatedFlashFFTConvFunc, conv.py:3262-3268)."""
     f0, n1, n2 = factors
-    if natural_io:
-        b, h, length = u5_re.shape
-        assert length % n2 == 0 and not complex_io
-        # free singleton insert: blocks become (rows, 1, 1, L) on a
-        # (B, H, 1, L) view, whose last-2 dims (1, L) match the array
-        u5_re = u5_re.reshape(b, h, 1, length)
-        if pregate is not None:
-            pregate = pregate.reshape(b, h, 1, length)
-        if postgate is not None:
-            postgate = postgate.reshape(b, h, 1, length)
-    else:
-        b, h, f0_, n1_, n2_ = u5_re.shape
-        assert factors == (f0_, n1_, n2_)
-        length = None
+    b, h, f0_, n1_, n2_ = u5_re.shape
+    assert factors == (f0_, n1_, n2_)
     rows = 2 if packed else 1
-    if natural_io:
-        tile = pl.BlockSpec(
-            (rows, 1, 1, length), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM
-        )
-        grid = (h, b // rows)
-    elif packed:
+    if packed:
         grid = (h, b // 2)
         tile = pl.BlockSpec(
             (2, 1, f0, n1, n2), lambda i, j: (j, i, 0, 0, 0), memory_space=pltpu.VMEM
@@ -1654,10 +1508,7 @@ def _long_tiles(
         in_specs.append(tile)
         inputs.append(postgate)
 
-    if natural_io:
-        out_shape = [jax.ShapeDtypeStruct((b, h, 1, length), io_dtype)]
-    else:
-        out_shape = [jax.ShapeDtypeStruct((b, h, f0, n1, n2), io_dtype)]
+    out_shape = [jax.ShapeDtypeStruct((b, h, f0, n1, n2), io_dtype)]
     out_specs = [tile]
     if complex_io:
         out_shape.append(jax.ShapeDtypeStruct((b, h, f0, n1, n2), io_dtype))
@@ -1671,7 +1522,6 @@ def _long_tiles(
         complex_io=complex_io,
         has_pre=pregate is not None,
         has_post=postgate is not None,
-        natural=(length, n1, n2) if natural_io else None,
     )
     inner_flops = 2 * (4 * n1 * n1 * n2 + 4 * n1 * n2 * n2 + 2 * n1 * n1 * n2)
     outs = pl.pallas_call(
@@ -1689,8 +1539,6 @@ def _long_tiles(
     )(*inputs)
     if complex_io:
         return outs[0], outs[1]
-    if natural_io:
-        return outs.reshape(b, h, length), None
     return outs, None
 
 
@@ -1740,165 +1588,6 @@ def _outer_tables_half(plan: FftPlan, base: int = 0):
         plan.dft_re[base][:fh], plan.dft_im[base][:fh], w0r, w0i,
         plan.idft_re[base][:, :fh] * wts, plan.idft_im[base][:, :fh] * wts,
     )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "factors", "compute_dtype", "io_dtype", "packed", "inverse", "length"
-    ),
-)
-def _butterfly_nat_tiles(
-    x_re, x_im, c_re, c_im, w_re, w_im,
-    factors, compute_dtype, io_dtype, packed, inverse, length, gate=None,
-):
-    """Natural-I/O outer butterfly for the 512K-1M pipeline: the real side
-    reads/writes (B, H, L) directly and the (L,) <-> (f00, R) relayout,
-    zero-pad/truncation and gate multiply happen in VMEM. Eliminates the
-    per-call HBM relayout copies of u, both gates, the kernel input and the
-    output that the XLA-level 128-lane reshape otherwise materializes
-    (measured 3.9 ms of copies at 1M/B=1 — a third of the whole conv).
-
-    Forward: (rows, 1, L) real [+ gate] -> (bc, h, fb, f0, n1, n2) planar
-    complex bands (fb = band rows of c_re; f0*n1*n2 = R), feeding
-    _long_tiles' complex path with only free major-dim regroups.
-    Inverse: the reverse (gate applied to the natural output).
-    Requires L % R == 0; whole (f00, R) channel lives in VMEM per step
-    (fits comfortably at N <= 1M; 2M/4M use _butterfly_tiles)."""
-    f00, f0, n1, n2 = factors
-    r = f0 * n1 * n2
-    fi = x_re.shape[2] if inverse else f00
-    fo = c_re.shape[0]
-    assert length % r == 0
-    lc = length // r  # full chunks present in the (possibly short) signal
-    rows = 2 if packed else 1
-
-    # natural (B, H, L) views get a singleton sublane axis -> (B, H, 1, L)
-    # so the (rows, 1, 1, L) blocks are legal Mosaic block shapes
-    nat_tile = pl.BlockSpec(
-        (rows, 1, 1, length), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM
-    )
-    if gate is not None:
-        gate = gate.reshape(gate.shape[0], gate.shape[1], 1, length)
-    if inverse:
-        b = x_re.shape[0]
-        h = x_re.shape[1]
-        grid = (h, b)
-        band_tile = pl.BlockSpec(
-            (1, 1, fi, f0, n1, n2), lambda i, j: (j, i, 0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        in_specs = [band_tile, band_tile]
-        inputs = [x_re, x_im]
-        out_shape = jax.ShapeDtypeStruct((rows * b, h, 1, length), io_dtype)
-        out_specs = nat_tile
-    else:
-        b, h = x_re.shape[:2]
-        bc = b // rows
-        grid = (h, bc)
-        band_tile = pl.BlockSpec(
-            (1, 1, fo, f0, n1, n2), lambda i, j: (j, i, 0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        in_specs = [nat_tile]
-        inputs = [x_re.reshape(b, h, 1, length)]
-        out_shape = [jax.ShapeDtypeStruct((bc, h, fo, f0, n1, n2), io_dtype)] * 2
-        out_specs = [band_tile, band_tile]
-
-    small = pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_specs += [small] * 4
-    inputs += [c_re, c_im, w_re.reshape(w_re.shape[0], r), w_im.reshape(w_im.shape[0], r)]
-    if gate is not None:
-        in_specs.append(nat_tile)
-        inputs.append(gate)
-
-    def kernel(*refs):
-        i = 0
-        if inverse:
-            xr_ref, xi_ref = refs[0], refs[1]; i = 2
-        else:
-            xr_ref = refs[0]; xi_ref = None; i = 1
-        cr_ref, ci_ref, wr_ref, wi_ref = refs[i : i + 4]; i += 4
-        g_ref = None
-        if gate is not None:
-            g_ref = refs[i]; i += 1
-        outs = refs[i:]
-
-        cr, ci = cr_ref[...], ci_ref[...]
-        wr, wi = wr_ref[...], wi_ref[...]
-
-        if inverse:
-            # (fi, f0, n1, n2) planar bands -> conj twiddle -> weighted
-            # inverse DFT -> natural rows (f32 results from io-dtype loads:
-            # keeps the VMEM working set within budget at N = 1M packed)
-            zr0 = xr_ref[0, 0].reshape(fi, r)
-            zi0 = xi_ref[0, 0].reshape(fi, r)
-            zr = zr0 * wr + zi0 * wi
-            zi = zi0 * wr - zr0 * wi
-            for c in range(lc):
-                acc_re = acc_im = None
-                for k0 in range(fi):
-                    tr = zr[k0] * cr[c, k0] - zi[k0] * ci[c, k0]
-                    acc_re = tr if acc_re is None else acc_re + tr
-                    if packed:
-                        ti = zr[k0] * ci[c, k0] + zi[k0] * cr[c, k0]
-                        acc_im = ti if acc_im is None else acc_im + ti
-
-                def nat_store(row, vals, c=c):
-                    v = vals
-                    if g_ref is not None:
-                        v = v * g_ref[row, 0, 0, c * r : (c + 1) * r].astype(jnp.float32)
-                    outs[0][row, 0, 0, c * r : (c + 1) * r] = v.astype(outs[0].dtype)
-
-                nat_store(0, acc_re)
-                if packed:
-                    nat_store(1, acc_im)
-        else:
-            # natural rows -> (f00, R) [pad] -> [pack] -> DFT bands + twiddle.
-            # The staged signal stays at io dtype (the gate product is taken
-            # in f32 then rounded, matching the old inter-kernel precision);
-            # the per-band accumulations promote to f32 via the f32 tables.
-            def nat_load(row):
-                v = xr_ref[row, 0, 0].astype(jnp.float32)
-                if g_ref is not None:
-                    v = v * g_ref[row, 0, 0].astype(jnp.float32)
-                # reshape in f32 (bf16 reshapes to < 16 sublanes are
-                # unsupported by Mosaic), THEN round to the staging dtype
-                v = v.reshape(lc, r)
-                if lc < f00:
-                    v = jnp.pad(v, ((0, f00 - lc), (0, 0)))
-                return v
-
-            xr = nat_load(0)
-            xi = nat_load(1) if packed else None
-            for k0 in range(fo):
-                acc_re = acc_im = None
-                for c in range(f00):
-                    tr = xr[c] * cr[k0, c] if xi is None else xr[c] * cr[k0, c] - xi[c] * ci[k0, c]
-                    ti = xr[c] * ci[k0, c] if xi is None else xr[c] * ci[k0, c] + xi[c] * cr[k0, c]
-                    acc_re = tr if acc_re is None else acc_re + tr
-                    acc_im = ti if acc_im is None else acc_im + ti
-                yr = acc_re * wr[k0] - acc_im * wi[k0]
-                yi = acc_re * wi[k0] + acc_im * wr[k0]
-                outs[0][0, 0, k0] = yr.reshape(f0, n1, n2).astype(outs[0].dtype)
-                outs[1][0, 0, k0] = yi.reshape(f0, n1, n2).astype(outs[1].dtype)
-
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=_interpret(),
-        cost_estimate=pl.CostEstimate(
-            flops=8 * b * h * fi * fo * r,
-            bytes_accessed=b * h * (length * 4 + fo * r * 4),
-            transcendentals=0,
-        ),
-    )(*inputs)
-    if inverse:
-        return outs.reshape(outs.shape[0], outs.shape[1], length), None
-    return outs[0], outs[1]
 
 
 @functools.partial(
@@ -2211,14 +1900,11 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
         f0, n1, n2 = plan.factors
         n = plan.seqlen
         io = _io_dtype(plan, u.dtype)
-        natural = _NAT_LONG_IO and length % n2 == 0
 
         def shape_in(v):
             v = v.astype(io)
             if v.ndim == 2:
                 v = v[None]
-            if natural:
-                return v
             if length < n:
                 v = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, n - length)])
             return v.reshape(v.shape[0], v.shape[1], f0, n1, n2)
@@ -2242,13 +1928,9 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
             complex_io=False,
             pregate=None if pregate is None else shape_in(pregate),
             postgate=None if postgate is None else shape_in(postgate),
-            natural_io=natural,
         )
         postgate = None  # consumed in-kernel
-        if natural:
-            out = o5
-        else:
-            out = o5.reshape(b, h, n)[..., :length]
+        out = o5.reshape(b, h, n)[..., :length]
         if squeeze:
             out = out[0]
     else:
@@ -2273,18 +1955,9 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
             return v.reshape(v.shape[0], v.shape[1], f00, rt, 128)
 
         squeeze = u.ndim == 2
-        r = f0 * n1 * n2
         b0 = u.shape[0] if u.ndim == 3 else 1
         packed = b0 % 2 == 0 and b0 >= 2
-        # natural-I/O butterflies: relayout/pad/gates in VMEM; requires
-        # L % R == 0, the whole (f00, R) f32 channel fitting VMEM (<= 1M),
-        # and an unpacked batch (the packed pair doubles the staging)
-        natural = length % r == 0 and n <= _NAT_BUTTERFLY_MAX and not packed
-
-        def to3(v):
-            return v[None] if v.ndim == 2 else v
-
-        x = to3(u).astype(io) if natural else shape_in(u)
+        x = shape_in(u)
         b, h = x.shape[:2]
         half = _use_half(plan, u)
         fb = _half_bands(f00) if half else f00
@@ -2299,28 +1972,15 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
         # pre/post gates fused into the outer butterfly stages — the analog
         # of the reference's butterfly_padded_gated_* entry points
         # (conv.py:3374-3391, 3659-3676).
-        if natural:
-            bre, bim = _butterfly_nat_tiles(
-                x, None,
-                plan.dft_re[0][:fb], plan.dft_im[0][:fb], w0r[:fb], w0i[:fb],
-                factors=plan.factors,
-                compute_dtype=plan.compute_dtype,
-                io_dtype=io,
-                packed=packed,
-                inverse=False,
-                length=length,
-                gate=None if pregate is None else to3(pregate).astype(io),
-            )
-        else:
-            bre, bim = _butterfly_tiles(
-                x, None,
-                plan.dft_re[0][:fb], plan.dft_im[0][:fb], w0r[:fb], w0i[:fb],
-                compute_dtype=plan.compute_dtype,
-                io_dtype=io,
-                packed=packed,
-                inverse=False,
-                gate=None if pregate is None else shape_in(pregate),
-            )
+        bre, bim = _butterfly_tiles(
+            x, None,
+            plan.dft_re[0][:fb], plan.dft_im[0][:fb], w0r[:fb], w0i[:fb],
+            compute_dtype=plan.compute_dtype,
+            io_dtype=io,
+            packed=packed,
+            inverse=False,
+            gate=None if pregate is None else shape_in(pregate),
+        )
         bc = b // 2 if packed else b
         ore, oim = _long_tiles(
             bre.reshape(bc, h * fb, f0, n1, n2),
@@ -2335,31 +1995,17 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
             packed=False,
             complex_io=True,
         )
-        if natural:
-            out, _ = _butterfly_nat_tiles(
-                ore.reshape(bc, h, fb, f0, n1, n2),
-                oim.reshape(bc, h, fb, f0, n1, n2),
-                bic0r, bic0i, w0r[:fb], w0i[:fb],
-                factors=plan.factors,
-                compute_dtype=plan.compute_dtype,
-                io_dtype=io,
-                packed=packed,
-                inverse=True,
-                length=length,
-                gate=None if postgate is None else to3(postgate).astype(io),
-            )
-        else:
-            o, _ = _butterfly_tiles(
-                ore.reshape(bc, h, fb, rt, 128),
-                oim.reshape(bc, h, fb, rt, 128),
-                bic0r, bic0i, w0r[:fb], w0i[:fb],
-                compute_dtype=plan.compute_dtype,
-                io_dtype=io,
-                packed=packed,
-                inverse=True,
-                gate=None if postgate is None else shape_in(postgate),
-            )
-            out = o.reshape(b, h, n)[..., :length]
+        o, _ = _butterfly_tiles(
+            ore.reshape(bc, h, fb, rt, 128),
+            oim.reshape(bc, h, fb, rt, 128),
+            bic0r, bic0i, w0r[:fb], w0i[:fb],
+            compute_dtype=plan.compute_dtype,
+            io_dtype=io,
+            packed=packed,
+            inverse=True,
+            gate=None if postgate is None else shape_in(postgate),
+        )
+        out = o.reshape(b, h, n)[..., :length]
         postgate = None  # consumed in-kernel
         if squeeze:
             out = out[0]
