@@ -30,6 +30,12 @@ class M2BertLayer(nn.Module):
     residual_long_conv: bool = True
     use_glu_mlp: bool = False  # gated-linear-unit MLP (the reference's
     # BertGatedLinearUnitMLP, bert_layers.py:169-219)
+    ref_structure: bool = False  # reproduce the reference BertLayer exactly
+    # (bert_layers.py:277-283): NO residual/LayerNorm/dropout around the
+    # mixer — its output feeds the MLP directly, and the only per-layer norm
+    # is the post-MLP LN. Used for faithful torch-checkpoint import
+    # (utils.checkpoint_import.import_m2_bert_state_dict). The default
+    # (False) keeps the pre/post-residual structure this repo trains with.
     conv_dtype: Any = jnp.bfloat16
     impl: str = "auto"
 
@@ -44,10 +50,13 @@ class M2BertLayer(nn.Module):
             impl=self.impl,
             name="mixer",
         )(x, deterministic=deterministic)
-        h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
-            (x + h).astype(jnp.float32)
-        ).astype(x.dtype)
+        if self.ref_structure:
+            x = h
+        else:
+            h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
+                (x + h).astype(jnp.float32)
+            ).astype(x.dtype)
 
         dense = lambda f, name: (
             BlockdiagLinear(f, nblocks=self.mlp_nblocks, name=name)
@@ -80,6 +89,8 @@ class M2BertModel(nn.Module):
     type_vocab_size: int = 2
     mlp_nblocks: int = 4
     dropout: float = 0.1
+    use_glu_mlp: bool = False
+    ref_structure: bool = False
     conv_dtype: Any = jnp.bfloat16
     impl: str = "auto"
 
@@ -116,6 +127,8 @@ class M2BertModel(nn.Module):
                 l_max=self.l_max,
                 mlp_nblocks=self.mlp_nblocks,
                 dropout=self.dropout,
+                use_glu_mlp=self.use_glu_mlp,
+                ref_structure=self.ref_structure,
                 conv_dtype=self.conv_dtype,
                 impl=self.impl,
                 name=f"layer_{i}",
@@ -133,6 +146,8 @@ class M2BertForMaskedLM(nn.Module):
     l_max: int = 128
     mlp_nblocks: int = 4
     dropout: float = 0.1
+    use_glu_mlp: bool = False
+    ref_structure: bool = False
     conv_dtype: Any = jnp.bfloat16
     impl: str = "auto"
 
@@ -147,6 +162,8 @@ class M2BertForMaskedLM(nn.Module):
             l_max=self.l_max,
             mlp_nblocks=self.mlp_nblocks,
             dropout=self.dropout,
+            use_glu_mlp=self.use_glu_mlp,
+            ref_structure=self.ref_structure,
             conv_dtype=self.conv_dtype,
             impl=self.impl,
             name="bert",

@@ -26,6 +26,7 @@ Known deliberate differences (documented, verified by tests):
 from __future__ import annotations
 
 import dataclasses
+import math
 import re
 from typing import Any, Mapping
 
@@ -43,11 +44,12 @@ class ImportReport:
 
 
 def _np(t) -> np.ndarray:
-    """torch.Tensor | np.ndarray -> float32 numpy (torch only imported if needed)."""
-    if isinstance(t, np.ndarray):
-        return t.astype(np.float32)
-    # torch tensor (cpu): .detach().numpy() without importing torch at module scope
-    return np.asarray(t.detach().to("cpu").float().numpy())
+    """torch.Tensor | np.ndarray | jax.Array -> float32 numpy (torch only
+    imported if needed)."""
+    if hasattr(t, "detach"):
+        # torch tensor (cpu), without importing torch at module scope
+        return np.asarray(t.detach().to("cpu").float().numpy())
+    return np.asarray(t, dtype=np.float32)
 
 
 def strip_checkpointing_keys(key: str) -> str:
@@ -85,9 +87,16 @@ def load_torch_checkpoint(path: str) -> dict[str, Any]:
     return normalize_state_dict(state)
 
 
-def _filter_params(state: dict, prefix: str, report: ImportReport) -> dict:
+def _filter_params(
+    state: dict, prefix: str, report: ImportReport, seq_attr: str = "implicit_filter"
+) -> dict:
     """Map one HyenaFilter's torch params (``implicit_filter.{j}`` Sequential,
-    ``bias``, ``modulation.deltas``) into our flax HyenaFilter tree."""
+    ``bias``, ``modulation.deltas``) into our flax HyenaFilter tree.
+
+    ``seq_attr`` selects the Sequential attribute — the reference M2-BERT
+    filter stores the reverse filter's MLP as ``implicit_filter_rev`` INSIDE
+    the same HyenaFilter (hyena_utils.py:195-203), while our flax build uses
+    a second HyenaFilter module for it (models/m2_bert.py)."""
     out: dict[str, Any] = {}
     if f"{prefix}.bias" in state:
         out["bias"] = _np(state[f"{prefix}.bias"])
@@ -95,12 +104,12 @@ def _filter_params(state: dict, prefix: str, report: ImportReport) -> dict:
     # Sequential indices map 1:1 onto our layers_{j} list (Dense/Sin/.../Dense).
     j = 0
     while True:
-        wk = f"{prefix}.implicit_filter.{j}.weight"
-        fk = f"{prefix}.implicit_filter.{j}.freq"
+        wk = f"{prefix}.{seq_attr}.{j}.weight"
+        fk = f"{prefix}.{seq_attr}.{j}.freq"
         if wk in state:
             layer = {"kernel": torch_linear(state[wk])}
             report.used.append(wk)
-            bk = f"{prefix}.implicit_filter.{j}.bias"
+            bk = f"{prefix}.{seq_attr}.{j}.bias"
             if bk in state:
                 layer["bias"] = _np(state[bk])
                 report.used.append(bk)
@@ -552,3 +561,224 @@ def import_bert_state_dict(
             # position_ids buffers, tied cls.predictions.decoder.*, pooler
             report.skipped.append(k)
     return params, report
+
+
+# --------------------------------------------------------------------------
+# M2-BERT (reference examples/bert) -> models.bert.M2BertForMaskedLM
+# --------------------------------------------------------------------------
+
+def _m2_mixer_params(state: dict, prefix: str, report: ImportReport) -> dict:
+    """Map one MonarchMixerSequenceMixing's torch params
+    (/root/reference/examples/bert/monarch_mixer_sequence_mixer_flashfftconv.py:42-115)
+    onto our flax mixer tree (models/m2_bert.py)."""
+    out: dict[str, Any] = {}
+    if f"{prefix}.in_linear.weight" in state:
+        # Kept in torch (out, in) orientation — consumed by einsum("od,bdl").
+        out["in_linear"] = _np(state[f"{prefix}.in_linear.weight"])
+        report.used.append(f"{prefix}.in_linear.weight")
+    # The reference registers an in_linear bias but its forward drops it
+    # (monarch_mixer...py:124-126: `self.in_linear.weight @ u`, bias line
+    # commented out); our mixer has no such param.
+    if f"{prefix}.in_linear.bias" in state:
+        report.skipped.append(f"{prefix}.in_linear.bias")
+    if f"{prefix}.short_filter.weights" in state:
+        # FlashDepthWiseConv1d stores BHL weights squeezed to (C, K)
+        # (depthwise_1d.py:33-35) — same layout as our ShortDepthwiseConv.
+        out["short_filter"] = {"weights": _np(state[f"{prefix}.short_filter.weights"])}
+        report.used.append(f"{prefix}.short_filter.weights")
+        if f"{prefix}.short_filter.bias" in state:
+            out["short_filter"]["bias"] = _np(state[f"{prefix}.short_filter.bias"])
+            report.used.append(f"{prefix}.short_filter.bias")
+    # Implicit filters. Reference: one bidirectional HyenaFilter holds both
+    # MLPs (implicit_filter + implicit_filter_rev); ours are two modules.
+    for ref_fn, ours in (("filter_fn", "filter"), ("filter_fn2", "filter2")):
+        fwd = _filter_params(state, f"{prefix}.{ref_fn}", report)
+        if fwd:
+            out[ours] = fwd
+        rev = _filter_params(
+            state, f"{prefix}.{ref_fn}", report, seq_attr="implicit_filter_rev"
+        )
+        rev.pop("bias", None)  # shared bias/modulation live on the fwd filter
+        rev.pop("modulation", None)
+        if rev:
+            out[f"{ours}_rev"] = rev
+    # Inference mode: the kernel is a plain (d_model, filter_len) weight
+    # (monarch_mixer...py:56-63); filter_bias is unused by the mixer forward.
+    for ref_k, ours in (("filter", "filter"), ("filter2", "filter2")):
+        if f"{prefix}.{ref_k}" in state:
+            out[ours] = _np(state[f"{prefix}.{ref_k}"])
+            report.used.append(f"{prefix}.{ref_k}")
+        if f"{prefix}.{ref_k}_bias" in state:
+            report.skipped.append(f"{prefix}.{ref_k}_bias")
+    if f"{prefix}.out_linear.weight" in state:
+        out["out_linear"] = {"kernel": torch_linear(state[f"{prefix}.out_linear.weight"])}
+        report.used.append(f"{prefix}.out_linear.weight")
+        if f"{prefix}.out_linear.bias" in state:
+            out["out_linear"]["bias"] = _np(state[f"{prefix}.out_linear.bias"])
+            report.used.append(f"{prefix}.out_linear.bias")
+    return out
+
+
+def _m2_mlp_linear(state: dict, key: str, report: ImportReport) -> dict:
+    """One M2 MLP linear: BlockdiagLinear weights (nblocks, q, p) map 1:1 onto
+    our BlockdiagLinear 'weight'; dense (out, in) weights become Dense
+    kernels. (bert_layers.py:130-219: linear_cls is Blockdiag or nn.Linear.)"""
+    w = _np(state[f"{key}.weight"])
+    report.used.append(f"{key}.weight")
+    out = {"weight": w} if w.ndim == 3 else {"kernel": w.T}
+    if f"{key}.bias" in state:
+        out["bias"] = _np(state[f"{key}.bias"])
+        report.used.append(f"{key}.bias")
+    return out
+
+
+def import_m2_bert_state_dict(
+    state: Mapping[str, Any], n_layer: int | None = None
+) -> tuple[dict, ImportReport]:
+    """Map a reference M2-BERT torch state dict (examples/bert/bert_layers.py:
+    BertForMaskedLM over MonarchMixerSequenceMixingFlashFFTConv) onto the
+    param tree of ``M2BertForMaskedLM(ref_structure=True)``.
+
+    ``ref_structure=True`` is required for functional fidelity: the reference
+    BertLayer has no residual/LayerNorm around the mixer (bert_layers.py:
+    277-283) — its only per-layer norm is the post-MLP one, which maps to our
+    ``norm2``. Merge the result over initialized params with
+    :func:`merge_params`. For a dense-MLP target model (``mlp_nblocks=0``),
+    convert the tree afterwards with :func:`blockdiag_to_dense_mlp`.
+    """
+    state = normalize_state_dict(state)
+    report = ImportReport()
+
+    if n_layer is None:
+        layer_ids = {
+            int(m.group(1))
+            for k in state
+            if (m := re.match(r"bert\.encoder\.layer\.(\d+)\.", k))
+        }
+        n_layer = max(layer_ids) + 1 if layer_ids else 0
+
+    bert: dict[str, Any] = {}
+    emb = "bert.embeddings"
+    for ref_k, ours in (
+        (f"{emb}.word_embeddings.weight", "word_embeddings"),
+        (f"{emb}.position_embeddings.weight", "position_embeddings"),
+        (f"{emb}.token_type_embeddings.weight", "token_type_embeddings"),
+    ):
+        if ref_k in state:
+            bert[ours] = {"embedding": _np(state[ref_k])}
+            report.used.append(ref_k)
+    en = _norm(state, f"{emb}.LayerNorm", report)
+    if en:
+        bert["embed_norm"] = en
+
+    for i in range(n_layer):
+        p = f"bert.encoder.layer.{i}"
+        block: dict[str, Any] = {}
+        mixer = _m2_mixer_params(state, f"{p}.attention", report)
+        if mixer:
+            block["mixer"] = mixer
+        mlp_ln = _norm(state, f"{p}.mlp.layernorm", report)
+        if mlp_ln:
+            block["norm2"] = mlp_ln
+        if f"{p}.mlp.gated_layers.weight" in state:
+            block["mlp_fc1"] = _m2_mlp_linear(state, f"{p}.mlp.gated_layers", report)
+        if f"{p}.mlp.wo.weight" in state:
+            block["mlp_fc2"] = _m2_mlp_linear(state, f"{p}.mlp.wo", report)
+        if block:
+            bert[f"layer_{i}"] = block
+
+    params: dict[str, Any] = {"bert": bert} if bert else {}
+    if "cls.predictions.transform.dense.weight" in state:
+        params["mlm_transform"] = {
+            "kernel": torch_linear(state["cls.predictions.transform.dense.weight"]),
+            "bias": _np(state["cls.predictions.transform.dense.bias"]),
+        }
+        report.used += [
+            "cls.predictions.transform.dense.weight",
+            "cls.predictions.transform.dense.bias",
+        ]
+    tn = _norm(state, "cls.predictions.transform.LayerNorm", report)
+    if tn:
+        params["mlm_norm"] = tn
+    if "cls.predictions.decoder.weight" in state:
+        head = {"kernel": torch_linear(state["cls.predictions.decoder.weight"])}
+        report.used.append("cls.predictions.decoder.weight")
+        if "cls.predictions.bias" in state:
+            head["bias"] = _np(state["cls.predictions.bias"])
+            report.used.append("cls.predictions.bias")
+        params["mlm_head"] = head
+
+    handled = set(report.used) | set(report.skipped)
+    for k in state:
+        if k not in handled:
+            # pooler, pos_emb buffers, seq_relationship head, etc.
+            report.skipped.append(k)
+    return params, report
+
+
+# --------------------------------------------------------------------------
+# Checkpoint surgery: blockdiag -> dense MLP conversion, positional-embedding
+# interpolation (reference training/src/utils/checkpoint.py:32-67 and
+# examples/bert/blockdiag_multiply.py:9-16).
+# --------------------------------------------------------------------------
+
+def blockdiag_weight_to_dense_weight(weight) -> np.ndarray:
+    """(nblocks, q, p) block-diagonal weight -> equivalent dense torch-layout
+    (out, in) = (nblocks*q, nblocks*p) weight. Mirrors the reference's
+    ``torch.block_diag(*torch.unbind(weight, 0))``
+    (blockdiag_multiply.py:9-16)."""
+    w = _np(weight)
+    nblocks, q, p = w.shape
+    dense = np.zeros((nblocks * q, nblocks * p), dtype=w.dtype)
+    for i in range(nblocks):
+        dense[i * q : (i + 1) * q, i * p : (i + 1) * p] = w[i]
+    return dense
+
+
+def blockdiag_to_dense_mlp(params):
+    """Convert every BlockdiagLinear MLP leaf in a flax param tree into the
+    equivalent Dense params, so a Monarch-MLP (mlp_nblocks>0) checkpoint
+    loads into a dense-MLP (mlp_nblocks=0) model — the TPU analog of the
+    reference's ``blockdiag_to_dense_mlp_bert``
+    (training/src/utils/checkpoint.py:32-39). A BlockdiagLinear node is any
+    mapping with a rank-3 'weight'; it becomes {'kernel': dense.T[, 'bias']}.
+    """
+
+    def rec(node):
+        if not isinstance(node, Mapping):
+            return node
+        w = node.get("weight")
+        if w is not None and not isinstance(w, Mapping) and np.ndim(w) == 3:
+            out = {"kernel": blockdiag_weight_to_dense_weight(w).T}
+            if "bias" in node:
+                out["bias"] = _np(node["bias"])
+            return out
+        return {k: rec(v) for k, v in node.items()}
+
+    return rec(params)
+
+
+def interpolate_pos_embedding(emb, out_seqlen: int, interleave: bool = False):
+    """Extend a positional embedding (..., L, D) to (..., out_seqlen, D) by
+    tiling whole copies along the sequence axis, or (interleave=True, square
+    lengths) by 2-D nearest-neighbor upsampling of the (sqrt(L), sqrt(L))
+    grid — the reference's ``interpolate_pos_embedding``
+    (training/src/utils/checkpoint.py:41-67), used to warm-start long-context
+    models from short-context checkpoints."""
+    e = _np(emb)
+    length, d = e.shape[-2], e.shape[-1]
+    if out_seqlen % length:
+        raise ValueError(f"out_seqlen {out_seqlen} must be a multiple of {length}")
+    reps = out_seqlen // length
+    if not interleave:
+        tile = [1] * e.ndim
+        tile[-2] = reps
+        return np.tile(e, tile)
+    side = math.isqrt(length)
+    out_side = math.isqrt(out_seqlen)
+    r = math.isqrt(reps)
+    if side * side != length or out_side * out_side != out_seqlen or r * r != reps:
+        raise ValueError("interleave requires square seqlens and a square ratio")
+    grid = e.reshape(*e.shape[:-2], side, side, d)
+    grid = np.repeat(np.repeat(grid, r, axis=-3), r, axis=-2)
+    return grid.reshape(*e.shape[:-2], out_seqlen, d)

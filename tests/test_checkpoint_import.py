@@ -397,3 +397,177 @@ def test_gpt2_kv_generation_matches_full_forward():
                         max_length=64, temperature=0.0)
     np.testing.assert_array_equal(np.asarray(out_kv), ref)
     np.testing.assert_array_equal(np.asarray(out_full), ref)
+
+
+# --------------------------------------------------------------------------
+# M2-BERT import + checkpoint surgery (reference examples/bert/bert_layers.py,
+# training/src/utils/checkpoint.py:32-67)
+# --------------------------------------------------------------------------
+
+M2_D, M2_INNER, M2_VOCAB, M2_LMAX, M2_NLAYER, M2_NBLOCKS = 32, 64, 16, 64, 2, 4
+M2_ORDER, M2_EMB = 16, 5
+
+
+def _m2_filter_state(f, prefix: str) -> dict:
+    """One reference HyenaFilter (bidirectional=True): shared bias/pos_emb/
+    modulation + implicit_filter and implicit_filter_rev Sequentials."""
+    state = {
+        f"{prefix}.bias": f(M2_D),
+        f"{prefix}.pos_emb.z": f(1, M2_LMAX, M2_EMB),
+        f"{prefix}.pos_emb.t": f(1, M2_LMAX, 1),
+        f"{prefix}.modulation.deltas": f(1, 1, M2_D),
+    }
+    for seq in ("implicit_filter", "implicit_filter_rev"):
+        j = 0
+        for cin, cout in ((M2_EMB, M2_ORDER), (M2_ORDER, M2_ORDER), (M2_ORDER, M2_ORDER)):
+            state[f"{prefix}.{seq}.{j}.weight"] = f(cout, cin)
+            state[f"{prefix}.{seq}.{j}.bias"] = f(cout)
+            state[f"{prefix}.{seq}.{j + 1}.freq"] = f(1, M2_ORDER)
+            j += 2
+        state[f"{prefix}.{seq}.{j}.weight"] = f(M2_D, M2_ORDER)
+    return state
+
+
+def _m2_torch_style_state(rng) -> dict:
+    """Synthetic M2-BERT state dict with the reference's exact key layout
+    (bert_layers.py: BertForMaskedLM with Monarch mixer + blockdiag MLP)."""
+    f = lambda *s: (rng.standard_normal(s) * 0.05).astype(np.float32)
+    state = {
+        "bert.embeddings.word_embeddings.weight": f(M2_VOCAB, M2_D),
+        "bert.embeddings.position_embeddings.weight": f(M2_LMAX, M2_D),
+        "bert.embeddings.token_type_embeddings.weight": f(2, M2_D),
+        "bert.embeddings.LayerNorm.weight": f(M2_D) + 1.0,
+        "bert.embeddings.LayerNorm.bias": f(M2_D),
+    }
+    for i in range(M2_NLAYER):
+        p = f"bert.encoder.layer.{i}"
+        state |= {
+            f"{p}.attention.in_linear.weight": f(3 * M2_D, M2_D),
+            f"{p}.attention.in_linear.bias": f(3 * M2_D),  # unused by fwd
+            f"{p}.attention.out_linear.weight": f(M2_D, M2_D),
+            f"{p}.attention.out_linear.bias": f(M2_D),
+            f"{p}.attention.short_filter.weights": f(3 * M2_D, 3),
+            f"{p}.attention.short_filter.bias": f(3 * M2_D),
+            # blockdiag MLP: gated_layers (no bias) + wo
+            f"{p}.mlp.gated_layers.weight": f(
+                M2_NBLOCKS, M2_INNER // M2_NBLOCKS, M2_D // M2_NBLOCKS
+            ),
+            f"{p}.mlp.wo.weight": f(M2_NBLOCKS, M2_D // M2_NBLOCKS, M2_INNER // M2_NBLOCKS),
+            f"{p}.mlp.wo.bias": f(M2_D),
+            f"{p}.mlp.layernorm.weight": f(M2_D) + 1.0,
+            f"{p}.mlp.layernorm.bias": f(M2_D),
+        }
+        state |= _m2_filter_state(f, f"{p}.attention.filter_fn")
+        state |= _m2_filter_state(f, f"{p}.attention.filter_fn2")
+    state |= {
+        "bert.pooler.dense.weight": f(M2_D, M2_D),  # skipped: no pooler here
+        "bert.pooler.dense.bias": f(M2_D),
+        "cls.predictions.transform.dense.weight": f(M2_D, M2_D),
+        "cls.predictions.transform.dense.bias": f(M2_D),
+        "cls.predictions.transform.LayerNorm.weight": f(M2_D) + 1.0,
+        "cls.predictions.transform.LayerNorm.bias": f(M2_D),
+        "cls.predictions.decoder.weight": f(M2_VOCAB, M2_D),
+        "cls.predictions.bias": f(M2_VOCAB),
+    }
+    return state
+
+
+def test_m2_bert_import_end_to_end(rng):
+    from flashfftconv_tpu.models.bert import M2BertForMaskedLM
+    from flashfftconv_tpu.utils.checkpoint_import import import_m2_bert_state_dict
+
+    state = _m2_torch_style_state(rng)
+    imported, report = import_m2_bert_state_dict(state)
+
+    model = M2BertForMaskedLM(
+        vocab_size=M2_VOCAB, d_model=M2_D, n_layer=M2_NLAYER, d_inner=M2_INNER,
+        l_max=M2_LMAX, mlp_nblocks=M2_NBLOCKS, dropout=0.0, ref_structure=True,
+        conv_dtype=jnp.float32, impl="xla",
+    )
+    ids = jnp.asarray(rng.integers(0, M2_VOCAB, (2, M2_LMAX)))
+    init = model.init(jax.random.PRNGKey(0), ids)["params"]
+    merged = merge_params(init, imported, report)
+
+    # every checkpoint key is either used or knowingly skipped, exactly once
+    assert set(report.used) | set(report.skipped) == set(state)
+    assert not (set(report.used) & set(report.skipped))
+    skipped = {k for k in report.skipped if "pos_emb" not in k}
+    assert skipped == {
+        "bert.pooler.dense.weight", "bert.pooler.dense.bias",
+        "bert.encoder.layer.0.attention.in_linear.bias",
+        "bert.encoder.layer.1.attention.in_linear.bias",
+    }
+    # layout checks: einsum-oriented in_linear kept (out, in); Dense transposed
+    np.testing.assert_array_equal(
+        np.asarray(merged["bert"]["layer_0"]["mixer"]["in_linear"]),
+        state["bert.encoder.layer.0.attention.in_linear.weight"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged["bert"]["layer_0"]["mixer"]["out_linear"]["kernel"]),
+        state["bert.encoder.layer.0.attention.out_linear.weight"].T,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged["bert"]["layer_0"]["mlp_fc1"]["weight"]),
+        state["bert.encoder.layer.0.mlp.gated_layers.weight"],
+    )
+    # only init-kept leaves are the rev-filter bias (unused; reference shares
+    # the fwd filter's) and gated_layers' absent bias (init zeros = no bias)
+    for path in report.missing:
+        assert ("filter_rev/bias" in path or "filter2_rev/bias" in path
+                or "mlp_fc1/bias" in path), path
+
+    logits = model.apply({"params": merged}, ids, deterministic=True)
+    assert logits.shape == (2, M2_LMAX, M2_VOCAB)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_blockdiag_weight_to_dense_weight_matches_torch(rng):
+    import torch
+
+    from flashfftconv_tpu.utils.checkpoint_import import blockdiag_weight_to_dense_weight
+
+    w = rng.standard_normal((4, 8, 6)).astype(np.float32)
+    ours = blockdiag_weight_to_dense_weight(w)
+    ref = torch.block_diag(*torch.unbind(torch.from_numpy(w), dim=0)).numpy()
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_blockdiag_to_dense_mlp_equivalence(rng):
+    import flax.linen as nn
+
+    from flashfftconv_tpu.models.m2_bert import BlockdiagLinear
+    from flashfftconv_tpu.utils.checkpoint_import import blockdiag_to_dense_mlp
+
+    x = jnp.asarray(rng.standard_normal((2, 10, 32)).astype(np.float32))
+    bd = BlockdiagLinear(features=64, nblocks=4)
+    params = bd.init(jax.random.PRNGKey(1), x)["params"]
+    y_bd = bd.apply({"params": params}, x)
+
+    dense_params = blockdiag_to_dense_mlp({"mlp_fc1": params})["mlp_fc1"]
+    assert set(dense_params) == {"kernel", "bias"}
+    y_dense = nn.Dense(64).apply({"params": dense_params}, x)
+    np.testing.assert_allclose(np.asarray(y_bd), np.asarray(y_dense), atol=1e-5)
+
+
+def test_interpolate_pos_embedding():
+    from flashfftconv_tpu.utils.checkpoint_import import interpolate_pos_embedding
+
+    emb = np.arange(12, dtype=np.float32).reshape(1, 4, 3)
+    tiled = interpolate_pos_embedding(emb, 8)
+    assert tiled.shape == (1, 8, 3)
+    np.testing.assert_array_equal(tiled[:, :4], emb)
+    np.testing.assert_array_equal(tiled[:, 4:], emb)
+
+    # interleave: 2x2 grid -> 4x4, each source pixel becomes a 2x2 block
+    inter = interpolate_pos_embedding(emb, 16, interleave=True)
+    assert inter.shape == (1, 16, 3)
+    grid_in = emb.reshape(2, 2, 3)
+    grid_out = inter.reshape(4, 4, 3)
+    for i in range(4):
+        for j in range(4):
+            np.testing.assert_array_equal(grid_out[i, j], grid_in[i // 2, j // 2])
+
+    with pytest.raises(ValueError):
+        interpolate_pos_embedding(emb, 10)  # not a multiple
+    with pytest.raises(ValueError):
+        interpolate_pos_embedding(emb, 32, interleave=True)  # 32 not square
