@@ -198,7 +198,20 @@ def make_plan(
             tw_im.append(wi)
         n = r
 
-    to_j = lambda xs: tuple(jnp.asarray(x) for x in xs)
+    # ensure_compile_time_eval: plans are built wherever the first conv call
+    # happens — often *inside* a jit/grad trace (e.g. seq_fft_conv under
+    # shard_map). The tables are pure numpy constants; materializing them
+    # eagerly keeps them concrete so caching/registering a plan built under
+    # one trace never leaks tracers into another.
+    with jax.ensure_compile_time_eval():
+        to_j = lambda xs: tuple(jnp.asarray(x) for x in xs)
+        plan = _build_plan(seqlen, factors, compute_dtype, to_j,
+                           dft_re, dft_im, idft_re, idft_im, tw_re, tw_im)
+    return plan
+
+
+def _build_plan(seqlen, factors, compute_dtype, to_j,
+                dft_re, dft_im, idft_re, idft_im, tw_re, tw_im):
     return FftPlan(
         seqlen=seqlen,
         factors=factors,

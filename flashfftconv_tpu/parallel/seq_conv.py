@@ -34,6 +34,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from flashfftconv_tpu.ops import monarch_pallas
 from flashfftconv_tpu.ops.monarch_xla import monarch_dft, monarch_idft
 from flashfftconv_tpu.ops.plan import make_plan
 
@@ -110,6 +111,108 @@ def _gather(x, axis_name):
     return out.reshape(*out.shape[: ax], out.shape[-1])
 
 
+def _pallas_band_ok(plan2) -> bool:
+    """Can the device-local band conv run as a fused Pallas kernel?
+
+    2-factor plans (N2 <= 32K) use the fused complex-I/O tile kernel; 3-factor
+    plans (N2 64K-256K) use the fused long kernel with complex I/O — the same
+    kernels the single-chip >=64K path composes, here running *inside*
+    shard_map so each device's Monarch band conv is one HBM round trip instead
+    of the XLA einsum chain's per-stage planar intermediates.
+    """
+    return len(plan2.factors) in (2, 3) and monarch_pallas.supported(plan2)
+
+
+def _band_conv_pallas_raw(plan2, bre, bim, kf_re, kf_im):
+    """Fused per-band conv: iDFT_N2(DFT_N2(b) * kf), complex planar I/O.
+
+    bre/bim: (..., H, N2) f32 band signal; kf: this device's band of the
+    kernel spectrum in Monarch layout ((H, n1, n2) or (H, f0, n1, n2)).
+    Equivalent to monarch_dft -> pointwise kf multiply -> monarch_idft
+    (the 1/N2 normalization rides in plan2.idft[0] either way).
+    """
+    io = monarch_pallas._io_dtype(plan2, jnp.bfloat16)
+    kf_re, kf_im = monarch_pallas._kf_cast(plan2, kf_re, kf_im)
+    lead = bre.shape[:-2]
+    h, n2len = bre.shape[-2], bre.shape[-1]
+    bre = bre.reshape(-1, h, n2len)
+    bim = bim.reshape(-1, h, n2len)
+    if len(plan2.factors) == 2:
+        u4re = monarch_pallas._layout(plan2, bre, dtype=io)
+        u4im = monarch_pallas._layout(plan2, bim, dtype=io)
+        ore, oim = monarch_pallas._conv_tiles(
+            u4re, u4im, kf_re, kf_im,
+            monarch_pallas._tables(plan2),
+            plan_factors=plan2.factors,
+            compute_dtype=plan2.compute_dtype_name,
+            complex_out=True,
+            out_dtype=jnp.float32,
+        )
+        ore = monarch_pallas._unlayout(plan2, ore, n2len)
+        oim = monarch_pallas._unlayout(plan2, oim, n2len)
+    else:
+        f0, n1, n2 = plan2.factors
+        x5re = bre.reshape(bre.shape[0], h, f0, n1, n2).astype(io)
+        x5im = bim.reshape(bim.shape[0], h, f0, n1, n2).astype(io)
+        ore, oim = monarch_pallas._long_tiles(
+            x5re, x5im, kf_re, kf_im,
+            monarch_pallas._outer_tables(plan2),
+            monarch_pallas._tables(plan2, base=1),
+            factors=plan2.factors,
+            compute_dtype=plan2.compute_dtype_name,
+            io_dtype=jnp.float32,
+            packed=False,
+            complex_io=True,
+        )
+        ore = ore.reshape(ore.shape[0], h, n2len)
+        oim = oim.reshape(oim.shape[0], h, n2len)
+    return (
+        ore.astype(jnp.float32).reshape(*lead, h, n2len),
+        oim.astype(jnp.float32).reshape(*lead, h, n2len),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _band_conv_pallas(plan_key, bre, bim, kf_re, kf_im):
+    """custom_vjp wrapper: pallas_call has no autodiff rule, but the band conv
+    is complex-linear — M = F^-1 diag(kf) F, so M^H is the band conv with
+    conj(kf), and dkf = conj(F b) * (F dy) / N2 (the planar-real Jacobian
+    transpose of a complex-linear map is the conjugate-transpose operator)."""
+    plan2 = monarch_pallas._PLAN_REGISTRY[plan_key]
+    return _band_conv_pallas_raw(plan2, bre, bim, kf_re, kf_im)
+
+
+def _band_conv_fwd(plan_key, bre, bim, kf_re, kf_im):
+    out = _band_conv_pallas(plan_key, bre, bim, kf_re, kf_im)
+    return out, (bre, bim, kf_re, kf_im)
+
+
+def _band_conv_bwd(plan_key, res, cot):
+    plan2 = monarch_pallas._PLAN_REGISTRY[plan_key]
+    bre, bim, kf_re, kf_im = res
+    dyre, dyim = cot
+    dbre, dbim = _band_conv_pallas_raw(plan2, dyre, dyim, kf_re, -kf_im)
+    xf_re, xf_im = monarch_dft(plan2, bre, bim)
+    gf_re, gf_im = monarch_dft(plan2, dyre, dyim)
+    inv_n = jnp.float32(1.0 / plan2.seqlen)
+    dkf_re = (xf_re * gf_re + xf_im * gf_im) * inv_n
+    dkf_im = (xf_re * gf_im - xf_im * gf_re) * inv_n
+    extra = dkf_re.ndim - kf_re.ndim
+    if extra:
+        axes = tuple(range(extra))
+        dkf_re = dkf_re.sum(axis=axes)
+        dkf_im = dkf_im.sum(axis=axes)
+    return (
+        dbre.astype(bre.dtype),
+        dbim.astype(bim.dtype),
+        dkf_re.astype(kf_re.dtype),
+        dkf_im.astype(kf_im.dtype),
+    )
+
+
+_band_conv_pallas.defvjp(_band_conv_fwd, _band_conv_bwd)
+
+
 def _band_spectrum(k_loc, plan2, axis_name, p, q, n, e, w_re, w_im):
     """This device's band m1=e of the kernel's N-point spectrum, in the inner
     plan's Monarch layout: run the kernel chunk through the same scatter ->
@@ -130,6 +233,7 @@ def seq_fft_conv(
     pregate: jax.Array | None = None,
     postgate: jax.Array | None = None,
     compute_dtype=jnp.bfloat16,
+    impl: str = "auto",
 ) -> jax.Array:
     """Circular FFT conv of size N with the sequence sharded over `mesh[axis]`.
 
@@ -147,6 +251,10 @@ def seq_fft_conv(
       mesh: mesh whose `axis` axis (size P) carries the sequence. N % P == 0,
         N/P a power of two >= 16, and (N/P) % P == 0.
       pregate/postgate: optional (..., H, N) gates, sharded like u.
+      impl: 'auto' | 'xla' | 'pallas' for the device-local band conv.
+        'pallas' fuses each device's inner Monarch conv (DFT_N2 * kf * iDFT)
+        into one kernel inside shard_map; 'xla' keeps the einsum chain;
+        'auto' picks Pallas whenever the local plan supports it.
 
     Returns:
       (..., H, N) real conv output, sharded like u.
@@ -164,6 +272,20 @@ def seq_fft_conv(
     plan2 = make_plan(n2, compute_dtype=compute_dtype)
     w_re, w_im, wi_re, wi_im = _outer_dft_matrices(p)
     out_dtype = u.dtype
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"impl must be auto|xla|pallas, got {impl!r}")
+    # auto: fused Pallas band conv on real TPUs; on CPU Pallas only runs in
+    # interpret mode (a python-loop emulation), so auto keeps the XLA einsum
+    # path there and impl='pallas' opts in explicitly (tests do).
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and _pallas_band_ok(plan2) and not monarch_pallas._interpret()
+    )
+    if impl == "pallas" and not _pallas_band_ok(plan2):
+        raise ValueError(
+            f"impl='pallas' unsupported for per-device length {n2} "
+            f"(factors {plan2.factors})"
+        )
+    plan_key = monarch_pallas._register(plan2) if use_pallas else None
 
     def local(u_loc, k_loc, pre_loc, post_loc):
         e = lax.axis_index(axis)
@@ -176,10 +298,13 @@ def seq_fft_conv(
         bre, bim = _gather(are, axis), _gather(aim, axis)  # band m1=e, full N2
 
         kf_re, kf_im = _band_spectrum(k_loc, plan2, axis, p, q, n, e, w_re, w_im)
-        xf_re, xf_im = monarch_dft(plan2, bre, bim)
-        yf_re = xf_re * kf_re - xf_im * kf_im
-        yf_im = xf_re * kf_im + xf_im * kf_re
-        dre, dim = monarch_idft(plan2, yf_re, yf_im)  # 1/N2 folded in
+        if use_pallas:
+            dre, dim = _band_conv_pallas(plan_key, bre, bim, kf_re, kf_im)
+        else:
+            xf_re, xf_im = monarch_dft(plan2, bre, bim)
+            yf_re = xf_re * kf_re - xf_im * kf_im
+            yf_im = xf_re * kf_im + xf_im * kf_re
+            dre, dim = monarch_idft(plan2, yf_re, yf_im)  # 1/N2 folded in
 
         dre, dim = _scatter(dre, axis, p), _scatter(dim, axis, p)  # (..., P=m1, Q)
         cre, cim = _twiddle(p, q, n, e, conj=True)
@@ -206,7 +331,10 @@ def seq_fft_conv(
         )
 
     fn = jax.shard_map(
-        wrapped, mesh=mesh, in_specs=in_specs, out_specs=seq_spec
+        wrapped, mesh=mesh, in_specs=in_specs, out_specs=seq_spec,
+        # pallas_call emits ShapeDtypeStructs without varying-mesh-axis
+        # metadata; the vma check would reject the fused band kernel.
+        check_vma=False,
     )
     zero = jnp.zeros((), u.dtype)
     return fn(
@@ -225,6 +353,7 @@ def seq_fft_conv_padded(
     pregate: jax.Array | None = None,
     postgate: jax.Array | None = None,
     compute_dtype=jnp.bfloat16,
+    impl: str = "auto",
 ) -> jax.Array:
     """Linear (causal) conv at L < N via zero-padding, sequence-sharded.
 
@@ -257,6 +386,6 @@ def seq_fft_conv_padded(
     out = seq_fft_conv(
         padded(u), padded(k), mesh, axis=axis,
         pregate=padded(pregate), postgate=padded(postgate),
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, impl=impl,
     )
     return out[..., :length]

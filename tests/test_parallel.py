@@ -498,6 +498,135 @@ def test_seq_conv_p4_and_short_kernel(rng):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
 
 
+@needs_multi
+class TestSeqConvPallasUnderMesh:
+    """impl='pallas' inside shard_map: the fused Pallas band-conv kernels
+    (interpret mode on CPU, compiled on TPU) composed with the distributed
+    FFT's all_to_alls. Proves the Pallas-under-mesh composition the
+    single-chip parity suite can't."""
+
+    def test_matches_xla_impl(self, rng):
+        from flashfftconv_tpu.ops.monarch_xla import fft_conv_reference
+        from flashfftconv_tpu.parallel.seq_conv import seq_fft_conv
+
+        mesh = make_mesh((1, 8), ("dp", "sp"))
+        n, b, h = 4096, 2, 4  # N2=512: 2-factor fused tile kernel per device
+        u = jnp.asarray(rng.standard_normal((b, h, n)).astype(np.float32) * 0.02)
+        k = jnp.asarray(
+            (rng.standard_normal((h, n)) * 0.02 * np.exp(-0.001 * np.arange(n)))
+            .astype(np.float32)
+        )
+        y_ref = fft_conv_reference(n, u, k)
+        with mesh:
+            y = jax.jit(
+                lambda u, k: seq_fft_conv(
+                    u, k, mesh, axis="sp", compute_dtype=jnp.float32,
+                    impl="pallas",
+                )
+            )(u, k)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    def test_gated_grads_match_reference(self, rng):
+        """custom_vjp of the Pallas band conv (adjoint = conj-kernel band
+        conv; dkf = conj(F b) * F dy / N2) against jnp.fft AD."""
+        from flashfftconv_tpu.ops.monarch_xla import fft_conv_reference
+        from flashfftconv_tpu.parallel.seq_conv import seq_fft_conv
+
+        mesh = make_mesh((1, 8), ("dp", "sp"))
+        n, b, h = 4096, 2, 3
+        u = jnp.asarray(rng.standard_normal((b, h, n)).astype(np.float32) * 0.02)
+        k = jnp.asarray(
+            (rng.standard_normal((h, n)) * 0.02 * np.exp(-0.001 * np.arange(n)))
+            .astype(np.float32)
+        )
+        pre = jnp.asarray(rng.standard_normal((b, h, n)).astype(np.float32))
+        post = jnp.asarray(rng.standard_normal((b, h, n)).astype(np.float32))
+
+        def loss(u, k, pre, post):
+            with mesh:
+                return jnp.sum(
+                    seq_fft_conv(
+                        u, k, mesh, axis="sp", pregate=pre, postgate=post,
+                        compute_dtype=jnp.float32, impl="pallas",
+                    )
+                    ** 2
+                )
+
+        def loss_ref(u, k, pre, post):
+            return jnp.sum(fft_conv_reference(n, u, k, pre, post) ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(u, k, pre, post)
+        grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(u, k, pre, post)
+        for g, gr in zip(grads, grads_ref):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(gr), atol=2e-4, rtol=1e-3
+            )
+
+    def test_padded_pallas(self, rng):
+        from flashfftconv_tpu.parallel.seq_conv import seq_fft_conv_padded
+
+        mesh = make_mesh((2, 4), ("dp", "sp"))
+        b, h, l = 2, 4, 4096  # N=8192 over 4 devices: N2=2048 fused kernel
+        u = jnp.asarray(rng.standard_normal((b, h, l)).astype(np.float32) * 0.02)
+        k = jnp.asarray(rng.standard_normal((h, 1000)).astype(np.float32) * 0.02)
+        plan = make_plan(2 * l, compute_dtype=jnp.float32)
+        y_ref = fft_conv(plan, u, k, impl="xla")
+        with mesh:
+            y = jax.jit(
+                lambda u, k: seq_fft_conv_padded(
+                    u, k, mesh, axis="sp", compute_dtype=jnp.float32,
+                    impl="pallas",
+                )
+            )(u, k)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    @pytest.mark.slow
+    def test_three_factor_band(self, rng):
+        """Per-device N2=64K exercises the fused *long* kernel (3-factor
+        plan) inside shard_map — the multi-device analog of the single-chip
+        64K-256K path."""
+        from flashfftconv_tpu.ops.monarch_xla import fft_conv_reference
+        from flashfftconv_tpu.parallel.seq_conv import seq_fft_conv
+
+        mesh = make_mesh((1, 8), ("dp", "sp"))
+        n, b, h = 524288, 1, 1
+        u = jnp.asarray(rng.standard_normal((b, h, n)).astype(np.float32) * 0.02)
+        k = jnp.asarray(
+            (rng.standard_normal((h, n)) * 0.02 * np.exp(-0.0001 * np.arange(n)))
+            .astype(np.float32)
+        )
+        y_ref = fft_conv_reference(n, u, k)
+        with mesh:
+            y = jax.jit(
+                lambda u, k: seq_fft_conv(
+                    u, k, mesh, axis="sp", compute_dtype=jnp.float32,
+                    impl="pallas",
+                )
+            )(u, k)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-3)
+
+
+def test_seq_conv_pallas_single_device_mesh(rng):
+    """1-device mesh (the hardware case the driver's single chip can run):
+    shard_map degenerates to identity all_to_alls around the fused kernel."""
+    from flashfftconv_tpu.ops.monarch_xla import fft_conv_reference
+    from flashfftconv_tpu.parallel.seq_conv import seq_fft_conv
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("sp",))
+    n, b, h = 2048, 2, 4
+    u = jnp.asarray(rng.standard_normal((b, h, n)).astype(np.float32) * 0.02)
+    k = jnp.asarray(rng.standard_normal((h, n)).astype(np.float32) * 0.02)
+    y_ref = fft_conv_reference(n, u, k)
+    with mesh:
+        y = jax.jit(
+            lambda u, k: seq_fft_conv(
+                u, k, mesh, axis="sp", compute_dtype=jnp.float32, impl="pallas"
+            )
+        )(u, k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # Pipeline parallelism (parallel/pipeline.py) — BEYOND the reference, which
 # has no pipeline parallelism anywhere (SURVEY.md §2.6).
