@@ -30,19 +30,43 @@ MASK_ID = 256
 VOCAB = 257  # bytes + [MASK]
 
 
+# base-110M mirrors /root/reference/examples/bert/configs/m2-110M-flashfftconv.yaml:
+# 12 layers, hidden 768, max_seq_len 128, batch_size 128, dense MLP
+# (use_monarch_mlp: False), GLU off. vocab_size 30522 = bert-base-uncased's
+# tokenizer (the data here is bytes, so ids stay < 257, but the embedding
+# table and MLM-decoder matmul match the reference's 110M param count).
+PRESETS = {
+    "base-110M": dict(d_model=768, n_layer=12, l_max=128, batch_size=128,
+                      mlp_nblocks=0, vocab_size=30522, tie_mlm_head=True),
+}
+
+
 def get_args():
     p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="", choices=[""] + list(PRESETS))
     p.add_argument("--d_model", default=256, type=int)
     p.add_argument("--n_layer", default=4, type=int)
     p.add_argument("--l_max", default=128, type=int)
     p.add_argument("--batch_size", default=32, type=int)
+    p.add_argument("--mlp-nblocks", dest="mlp_nblocks", default=4, type=int,
+                   help="0 = dense MLP (the 110M config); >0 = BlockdiagLinear")
     p.add_argument("--steps", default=100, type=int)
     p.add_argument("--lr", default=8e-4, type=float)
     p.add_argument("--mask-prob", default=0.15, type=float)
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--impl", default="auto")
+    p.add_argument("--vocab-size", dest="vocab_size", default=VOCAB, type=int)
+    p.add_argument("--tie-mlm-head", dest="tie_mlm_head", action="store_true",
+                   help="tie MLM decoder to word embeddings (ref bert_layers.py:566)")
+    p.add_argument("--log-file", default="", help="JSONL metrics artifact path")
+    p.add_argument("--time-steps", action="store_true",
+                   help="report per-step wall time (post-compile)")
     p.add_argument("--seed", default=0, type=int)
-    return p.parse_args()
+    args = p.parse_args()
+    if args.preset:
+        for k, v in PRESETS[args.preset].items():
+            setattr(args, k, v)
+    return args
 
 
 def load_corpus() -> np.ndarray:
@@ -70,35 +94,48 @@ def main():
     import optax
 
     from flashfftconv_tpu.models.bert import M2BertForMaskedLM
+    from flashfftconv_tpu.utils.benchmarking import benchmark_forward, benchmark_memory
+    from flashfftconv_tpu.utils.logging import MetricLogger
     from flashfftconv_tpu.utils.metrics import accuracy  # noqa: F401
     from flashfftconv_tpu.utils.train import TrainState, create_train_state
 
     model = M2BertForMaskedLM(
-        vocab_size=VOCAB,
+        vocab_size=args.vocab_size,
         d_model=args.d_model,
         n_layer=args.n_layer,
         d_inner=4 * args.d_model,
         l_max=args.l_max,
+        mlp_nblocks=args.mlp_nblocks,
+        tie_mlm_head=args.tie_mlm_head,
         impl=args.impl,
     )
     rng = jax.random.PRNGKey(args.seed)
     ids = jnp.zeros((args.batch_size, args.l_max), jnp.int32)
-    params = model.init(rng, ids)["params"]
+    params = jax.jit(model.init)(rng, ids)["params"]
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"M2-BERT: {n_params/1e6:.2f}M params", flush=True)
+    logger = MetricLogger(args.log_file) if args.log_file else None
+    config = dict(preset=args.preset or "custom", vocab_size=args.vocab_size,
+                  d_model=args.d_model,
+                  n_layer=args.n_layer, l_max=args.l_max, B=args.batch_size,
+                  mlp_nblocks=args.mlp_nblocks, n_params=int(n_params),
+                  impl=args.impl)
 
     if args.benchmark:
         fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, deterministic=True))
-        out = fwd(params, ids)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(10):
-            out = fwd(params, ids)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / 10
+        t_compile = time.perf_counter()
+        mem_mb = benchmark_memory(fwd, params, ids)
+        t_compile = time.perf_counter() - t_compile
+        ms = benchmark_forward(fwd, params, ids, repeats=10)
         toks = args.batch_size * args.l_max
-        print(f"fwd: {dt*1e3:.2f} ms | {toks/dt/1e3:.1f} tokens/ms | "
-              f"{args.batch_size/dt:.1f} seqs/s", flush=True)
+        print(f"fwd: {ms:.2f} ms | {toks/ms:.1f} tokens/ms | "
+              f"{args.batch_size/(ms/1e3):.1f} seqs/s | peak {mem_mb:.0f} MB | "
+              f"compile {t_compile:.1f} s", flush=True)
+        if logger:
+            logger.log({**config, "mode": "fwd_benchmark", "fwd_ms": ms,
+                        "tokens_per_ms": toks / ms,
+                        "seqs_per_s": args.batch_size / (ms / 1e3),
+                        "peak_mem_mb": mem_mb, "compile_s": t_compile})
         return
 
     corpus = load_corpus()
@@ -127,13 +164,30 @@ def main():
 
     jit_step = jax.jit(step_fn)
     data_rng = np.random.default_rng(args.seed)
+    if args.time_steps:
+        x0, l0 = mlm_batch(corpus, args.batch_size, args.l_max,
+                           args.mask_prob, data_rng)
+        mem_mb = benchmark_memory(jit_step, state, jnp.asarray(x0),
+                                  jnp.asarray(l0), rng)
+        print(f"train-step peak memory: {mem_mb:.0f} MB", flush=True)
+    toks = args.batch_size * args.l_max
+    t_prev = time.perf_counter()
     for step in range(args.steps):
         x, labels = mlm_batch(corpus, args.batch_size, args.l_max,
                               args.mask_prob, data_rng)
         state, loss, acc = jit_step(state, jnp.asarray(x), jnp.asarray(labels), rng)
-        if step % 10 == 0 or step == args.steps - 1:
-            print(f"step {step}: mlm loss {float(loss):.3f} acc {float(acc)*100:.1f}%",
-                  flush=True)
+        loss, acc = float(loss), float(acc)  # scalar readback = step sync
+        dt = time.perf_counter() - t_prev
+        t_prev = time.perf_counter()
+        if step % 10 == 0 or step == args.steps - 1 or args.time_steps:
+            print(f"step {step}: mlm loss {loss:.3f} acc {acc*100:.1f}% "
+                  f"{dt:.2f} s/step {toks/dt:.0f} tokens/s", flush=True)
+        if logger:
+            rec = {"mlm_loss": loss, "mlm_acc": acc, "step_s": dt,
+                   "tokens_per_s": toks / dt}
+            if step == 0:
+                rec.update(config, mode="train", compile_step_s=dt)
+            logger.log(rec, step=step)
 
 
 if __name__ == "__main__":

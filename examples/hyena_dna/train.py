@@ -28,8 +28,24 @@ import numpy as np
 DNA_VOCAB = {c: i for i, c in enumerate("ACGTN")}
 
 
+# Reference model configs (hyenadna_flashfftconv.py / huggingface.py:141 —
+# "the 1M long sequence model (8 layers, d_model=256)"). The reference
+# benchmarks 'hyenadna-large-1m-seqlen' with B=4 fp16 on 80 GB A100s
+# (benchmark_flash_dna_fwd.py:18-19); the v5e has 16 GB, so default B=1.
+MODEL_CONFIGS = {
+    "tiny-1k": dict(d_model=128, n_layer=2, l_max=1024),
+    "tiny-16k-d128": dict(d_model=128, n_layer=2, l_max=16384),
+    "small-32k": dict(d_model=256, n_layer=4, l_max=32768),
+    "medium-160k": dict(d_model=256, n_layer=8, l_max=160_000),
+    "medium-450k": dict(d_model=256, n_layer=8, l_max=450_000),
+    "large-1m": dict(d_model=256, n_layer=8, l_max=1_048_576),
+}
+
+
 def get_args():
     p = argparse.ArgumentParser()
+    p.add_argument("--model", default="", choices=[""] + list(MODEL_CONFIGS),
+                   help="reference config preset; overrides d_model/n_layer/l_max")
     p.add_argument("--d_model", default=128, type=int)
     p.add_argument("--n_layer", default=2, type=int)
     p.add_argument("--l_max", default=16384, type=int)
@@ -39,8 +55,17 @@ def get_args():
     p.add_argument("--fasta", default="", help="path to a FASTA file")
     p.add_argument("--benchmark", action="store_true", help="fwd-only tokens/ms")
     p.add_argument("--impl", default="auto")
+    p.add_argument("--remat", action="store_true",
+                   help="gradient checkpointing per block (for 1M training)")
+    p.add_argument("--log-file", default="", help="JSONL metrics artifact path")
+    p.add_argument("--time-steps", action="store_true",
+                   help="report per-step wall time (post-compile) when training")
     p.add_argument("--seed", default=0, type=int)
-    return p.parse_args()
+    args = p.parse_args()
+    if args.model:
+        for k, v in MODEL_CONFIGS[args.model].items():
+            setattr(args, k, v)
+    return args
 
 
 def load_genome(args) -> np.ndarray:
@@ -68,7 +93,9 @@ def main():
     import optax
 
     from flashfftconv_tpu.models.lm import ConvLMHeadModel
+    from flashfftconv_tpu.utils.benchmarking import benchmark_forward, benchmark_memory
     from flashfftconv_tpu.utils.data import lm_batches
+    from flashfftconv_tpu.utils.logging import MetricLogger
     from flashfftconv_tpu.utils.metrics import cross_entropy
     from flashfftconv_tpu.utils.train import TrainState, create_train_state
 
@@ -83,30 +110,39 @@ def main():
         l_max=args.l_max,
         mixer="hyena",
         mixer_kwargs={"impl": args.impl, "filter_args": {"emb_dim": 5}},
+        remat=args.remat,
         dtype=jnp.bfloat16,
         pad_vocab_size_multiple=8,
     )
     rng = jax.random.PRNGKey(args.seed)
     ids = jnp.zeros((args.batch_size, args.l_max), jnp.int32)
-    params = model.init(rng, ids)["params"]
+    params = jax.jit(model.init)(rng, ids)["params"]
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"model: {n_params/1e6:.2f}M params @ L={args.l_max}", flush=True)
+    logger = MetricLogger(args.log_file) if args.log_file else None
+    config = dict(model=args.model or "custom", d_model=args.d_model,
+                  n_layer=args.n_layer, l_max=args.l_max, B=args.batch_size,
+                  n_params=int(n_params), impl=args.impl, remat=args.remat)
 
     if args.benchmark:
         fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, deterministic=True))
-        out = fwd(params, ids)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        iters = 5
-        for _ in range(iters):
-            out = fwd(params, ids)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
+        t_compile = time.perf_counter()
+        mem_mb = benchmark_memory(fwd, params, ids)
+        t_compile = time.perf_counter() - t_compile
+        # benchmark_forward syncs via scalar readback (the axon relay can
+        # no-op block_until_ready; see utils/benchmarking._sync).
+        ms = benchmark_forward(fwd, params, ids, repeats=10)
         toks = args.batch_size * args.l_max
         # tokens/ms + seqs/s, the reference's printed metrics
         # (benchmark_flash_dna_fwd.py:55-58).
-        print(f"fwd: {dt*1e3:.2f} ms | {toks/dt/1e3:.1f} tokens/ms | "
-              f"{args.batch_size/dt:.2f} seqs/s", flush=True)
+        print(f"fwd: {ms:.2f} ms | {toks/ms:.1f} tokens/ms | "
+              f"{args.batch_size/(ms/1e3):.2f} seqs/s | peak {mem_mb:.0f} MB | "
+              f"compile {t_compile:.1f} s", flush=True)
+        if logger:
+            logger.log({**config, "mode": "fwd_benchmark",
+                        "fwd_ms": ms, "tokens_per_ms": toks / ms,
+                        "seqs_per_s": args.batch_size / (ms / 1e3),
+                        "peak_mem_mb": mem_mb, "compile_s": t_compile})
         return
 
     tx = optax.chain(
@@ -128,12 +164,28 @@ def main():
     jit_step = jax.jit(step_fn)
     batches = lm_batches(genome, args.batch_size, args.l_max,
                          np.random.default_rng(args.seed))
+    if args.time_steps:
+        x0, y0 = next(batches)
+        mem_mb = benchmark_memory(jit_step, state, jnp.asarray(x0), jnp.asarray(y0))
+        print(f"train-step peak memory: {mem_mb:.0f} MB", flush=True)
+    toks = args.batch_size * args.l_max
+    t_prev = time.perf_counter()
     for step in range(args.steps):
         x, y = next(batches)
         state, loss = jit_step(state, jnp.asarray(x), jnp.asarray(y))
-        if step % 5 == 0 or step == args.steps - 1:
-            print(f"step {step}: loss {float(loss):.4f} "
-                  f"(bits/base {float(loss)/np.log(2):.3f})", flush=True)
+        loss = float(loss)  # scalar readback = step sync
+        dt = time.perf_counter() - t_prev
+        t_prev = time.perf_counter()
+        if step % 5 == 0 or step == args.steps - 1 or args.time_steps:
+            print(f"step {step}: loss {loss:.4f} "
+                  f"(bits/base {loss/np.log(2):.3f}) "
+                  f"{dt:.2f} s/step {toks/dt:.0f} tokens/s", flush=True)
+        if logger:
+            rec = {"loss": loss, "bits_per_base": loss / np.log(2),
+                   "step_s": dt, "tokens_per_s": toks / dt}
+            if step == 0:
+                rec.update(config, mode="train", compile_step_s=dt)
+            logger.log(rec, step=step)
 
 
 if __name__ == "__main__":

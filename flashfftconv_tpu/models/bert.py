@@ -101,10 +101,13 @@ class M2BertModel(nn.Module):
         token_type_ids=None,
         attention_mask=None,
         deterministic: bool = True,
+        embed: nn.Embed | None = None,
     ):
         b, l = input_ids.shape
-        x = nn.Embed(self.vocab_size, self.d_model, dtype=self.conv_dtype,
-                     name="word_embeddings")(input_ids)
+        if embed is None:
+            embed = nn.Embed(self.vocab_size, self.d_model, dtype=self.conv_dtype,
+                             name="word_embeddings")
+        x = embed(input_ids)
         pos = jnp.arange(l)[None]
         x = x + nn.Embed(self.l_max, self.d_model, dtype=self.conv_dtype,
                          name="position_embeddings")(pos)
@@ -148,12 +151,21 @@ class M2BertForMaskedLM(nn.Module):
     dropout: float = 0.1
     use_glu_mlp: bool = False
     ref_structure: bool = False
+    tie_mlm_head: bool = False  # reference ties decoder weight to the word
+    # embedding (bert_layers.py:566-568); kept opt-in so the torch-checkpoint
+    # importer's untied param tree stays the default
     conv_dtype: Any = jnp.bfloat16
     impl: str = "auto"
 
     @nn.compact
     def __call__(self, input_ids, token_type_ids=None, attention_mask=None,
                  deterministic: bool = True):
+        embed = (
+            nn.Embed(self.vocab_size, self.d_model, dtype=self.conv_dtype,
+                     name="word_embeddings")
+            if self.tie_mlm_head
+            else None
+        )
         h = M2BertModel(
             vocab_size=self.vocab_size,
             d_model=self.d_model,
@@ -167,12 +179,17 @@ class M2BertForMaskedLM(nn.Module):
             conv_dtype=self.conv_dtype,
             impl=self.impl,
             name="bert",
-        )(input_ids, token_type_ids, attention_mask, deterministic)
+        )(input_ids, token_type_ids, attention_mask, deterministic, embed=embed)
         h = nn.Dense(self.d_model, dtype=jnp.float32, name="mlm_transform")(
             h.astype(jnp.float32)
         )
         h = nn.gelu(h)
         h = nn.LayerNorm(epsilon=1e-5, name="mlm_norm")(h)
+        if self.tie_mlm_head:
+            logits = embed.attend(h.astype(embed.dtype)).astype(jnp.float32)
+            bias = self.param("mlm_bias", nn.initializers.zeros,
+                              (self.vocab_size,), jnp.float32)
+            return logits + bias
         return nn.Dense(self.vocab_size, dtype=jnp.float32, name="mlm_head")(h)
 
 
