@@ -30,9 +30,21 @@ import numpy as np
 import optax
 
 
+# hyena-125M mirrors the reference's 125M-class Hyena LM
+# (examples/hyena/src/models/sequence/long_conv_lm.py:146-301: GPT-Neo-125M
+# geometry — 12 layers, d_model 768, d_inner 3072, vocab 50257). Data here is
+# bytes (ids < 256) but the embedding/LM-head are sized at the GPT-2 vocab so
+# the parameter count and head matmul match the reference scale.
+PRESETS = {
+    "hyena-125M": dict(mixer="hyena", d_model=768, n_layer=12, l_max=8192,
+                       batch_size=4, vocab_size=50257),
+}
+
+
 def get_args():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="", help="yaml config (registry _name_ keys)")
+    p.add_argument("--preset", default="", choices=[""] + list(PRESETS))
     p.add_argument("--mixer", default="hyena", choices=["hyena", "h3", "m2", "mha"])
     p.add_argument("--d_model", default=256, type=int)
     p.add_argument("--n_layer", default=4, type=int)
@@ -56,7 +68,17 @@ def get_args():
     p.add_argument("--eval-every", default=0, type=int, help="val bits/byte cadence")
     p.add_argument("--run-name", default="")
     p.add_argument("--impl", default="auto")
+    p.add_argument("--vocab-size", dest="vocab_size", default=256, type=int)
+    p.add_argument("--remat", action="store_true",
+                   help="gradient checkpointing per block")
+    p.add_argument("--log-file", default="",
+                   help="exact JSONL artifact path (default ./logs/<run>.jsonl)")
+    p.add_argument("--time-steps", action="store_true",
+                   help="print per-step wall time + train-step peak memory")
     args = p.parse_args()
+    if args.preset:
+        for k, v in PRESETS[args.preset].items():
+            setattr(args, k, v)
     if args.config:
         import yaml
 
@@ -152,15 +174,16 @@ def main():
             d_model=args.d_model,
             n_layer=args.n_layer,
             d_inner=4 * args.d_model,
-            vocab_size=256,
+            vocab_size=args.vocab_size,
             l_max=args.l_max,
             mixer=args.mixer,
             mixer_kwargs={"impl": args.impl},
+            remat=args.remat,
             dtype=jnp.bfloat16,
         )
     rng = jax.random.PRNGKey(args.seed)
     sample_ids = jnp.zeros((2, args.l_max), jnp.int32)
-    params = model.init(rng, sample_ids)["params"]
+    params = jax.jit(model.init)(rng, sample_ids)["params"]
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"model: {n_params/1e6:.2f}M params, mixer={args.mixer}", flush=True)
 
@@ -203,8 +226,16 @@ def main():
         )
 
     jit_step = jax.jit(train_step)
+    if args.time_steps:
+        args.log_every = 1  # per-step sync + timing
+        from flashfftconv_tpu.utils.benchmarking import benchmark_memory
+
+        x0, y0 = jnp.zeros((2, args.batch_size, args.l_max), jnp.int32)
+        mem_mb = benchmark_memory(jit_step, state, x0, y0, rng)
+        print(f"train-step peak memory: {mem_mb:.0f} MB", flush=True)
     logger = MetricLogger(
-        logdir="./logs", run_name=args.run_name or f"lm-{args.mixer}"
+        logdir=args.log_file or "./logs",
+        run_name=args.run_name or f"lm-{args.mixer}",
     )
     speed = SpeedMonitor()
 
