@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-3 retry/validation queue — run AFTER run_round3_tpu.sh finishes.
+# One TPU process at a time.
+set -u
+cd "$(dirname "$0")/.."
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date -u +%H:%M:%S)) ==="
+  timeout "$tmo" "$@" > "/tmp/r3_$name.log" 2>&1
+  echo "--- rc=$? tail:"; tail -3 "/tmp/r3_$name.log"
+}
+
+# 1. Fused 3-factor backward kernel: hardware grad parity at 64K-256K
+#    (interpret-mode tests can't catch Mosaic lowering issues).
+run bwd_check 3600 python -u benchmarks/tpu_bwd_check.py
+
+# 2. Re-time fwd+bwd at the 3-factor sizes with the fused backward
+#    (was fwd_bwd/fwd 4.7-6.0 with the separate-transform scheme).
+run bwd_timing 3600 python -u benchmarks/benchmark_flashfftconv.py \
+  --sizes 65536,131072,262144 --csv benchmarks/results_v5e_r3_bwdfused.csv
+
+# 3. HyenaDNA 1M training retry at d_model=128 (d=256 needs >16 GB even
+#    with remat; VERDICT round-2 item 2 allows d_model 128-256).
+run hdna_1m_train 5400 python -u examples/hyena_dna/train.py \
+  --model large-1m --d_model 128 --steps 6 --remat --time-steps \
+  --log-file benchmarks/hyenadna_v5e.jsonl
+
+# 4. Hyena-125M retry at B=2 (B=4 peaked at 20.4 GB).
+run hyena125m_train 3600 python -u examples/lm/train.py \
+  --preset hyena-125M --batch_size 2 --steps 20 --time-steps --warmup 5 \
+  --log-file benchmarks/hyena125m_v5e.jsonl
+
+# 5. Second seed for the seqcls quality run (round-2 weak #5: single seed).
+run seqcls_seed1 3600 python -u examples/seqcls/train.py --epochs 10 --seed 1 \
+  --log-file benchmarks/seqcls_v5e_seed1.jsonl
+
+echo "=== retry queue done ($(date -u +%H:%M:%S)) ==="

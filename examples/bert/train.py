@@ -64,8 +64,11 @@ def get_args():
     p.add_argument("--seed", default=0, type=int)
     args = p.parse_args()
     if args.preset:
+        # preset fills fields the user left at their defaults; explicit CLI
+        # flags win (e.g. --preset hyena-125M --batch_size 2 on a 16 GB chip)
         for k, v in PRESETS[args.preset].items():
-            setattr(args, k, v)
+            if getattr(args, k) == p.get_default(k):
+                setattr(args, k, v)
     return args
 
 

@@ -63,8 +63,10 @@ def get_args():
     p.add_argument("--seed", default=0, type=int)
     args = p.parse_args()
     if args.model:
+        # preset fills fields left at defaults; explicit CLI flags win
         for k, v in MODEL_CONFIGS[args.model].items():
-            setattr(args, k, v)
+            if getattr(args, k) == p.get_default(k):
+                setattr(args, k, v)
     return args
 
 

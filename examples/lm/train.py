@@ -77,8 +77,11 @@ def get_args():
                    help="print per-step wall time + train-step peak memory")
     args = p.parse_args()
     if args.preset:
+        # preset fills fields the user left at their defaults; explicit CLI
+        # flags win (e.g. --preset hyena-125M --batch_size 2 on a 16 GB chip)
         for k, v in PRESETS[args.preset].items():
-            setattr(args, k, v)
+            if getattr(args, k) == p.get_default(k):
+                setattr(args, k, v)
     if args.config:
         import yaml
 

@@ -2031,6 +2031,194 @@ def _gated_fwd(plan_key, u, k, pregate, postgate):
     )
 
 
+def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y):
+    """Fully-fused 3-factor backward for one (b, h): in ONE HBM round trip,
+    recompute Ug = DFT(ug) and G = DFT(g) (outer half-band DFT + twiddle +
+    2-way inner Monarch chain, as in _long_kernel), then emit
+    du = iDFT(G * conj(K_f)), optionally y = iDFT(Ug * K_f) (for dpostgate),
+    and accumulate dk_f += G * conj(Ug) across the batch grid axis.
+
+    The TPU analog of the reference's >=64K backward — which re-runs the
+    3-kernel butterfly pipeline twice plus host-side dk reduction
+    (/root/reference/flashfftconv/conv.py:1867-3233) — collapsed to one
+    kernel, trading ~2x transform FLOPs (two signals, no real-pair packing)
+    for the elimination of every HBM-resident spectrum intermediate the
+    separate-transform backward pays for (measured fwd_bwd/fwd 4.7-6.0 at
+    64K-256K with the separate-transform scheme, results_v5e_r3.csv)."""
+    ug_ref, g_ref, kfr_ref, kfi_ref = refs[:4]
+    c0_ref, s0_ref, w0r_ref, w0i_ref, ic0_ref, is0_ref = refs[4:10]
+    (f1r, f1i, w1r, w1i, f2r, f2i, if2r, if2i, if1r, if1i) = refs[10:20]
+    i = 20
+    du_ref = refs[i]; i += 1
+    y_ref = None
+    if need_y:
+        y_ref = refs[i]; i += 1
+    dkr_ref, dki_ref = refs[i], refs[i + 1]
+
+    def mm(a, b):
+        return jnp.dot(
+            a.astype(compute_dtype), b.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    def cmul(are, aim, bre, bim):
+        return are * bre - aim * bim, are * bim + aim * bre
+
+    def cmm_l(mr, mi, ms, xr, xi):
+        t1, t2, t3 = mm(mr, xr), mm(mi, xi), mm(ms, xr + xi)
+        return t1 - t2, t3 - t1 - t2
+
+    def cmm_r(xr, xi, mr, mi, ms):
+        t1, t2, t3 = mm(xr, mr), mm(xi, mi), mm(xr + xi, ms)
+        return t1 - t2, t3 - t1 - t2
+
+    f1r_m, f1i_m = f1r[...], f1i[...]
+    w1r_m, w1i_m = w1r[...], w1i[...]
+    f2r_m, f2i_m = f2r[...], f2i[...]
+    if2r_m, if2i_m = if2r[...], if2i[...]
+    if1r_m, if1i_m = if1r[...], if1i[...]
+    f1s_m = f1r_m + f1i_m
+    f2s_m = f2r_m + f2i_m
+    if2s_m = if2r_m + if2i_m
+    if1s_m = if1r_m + if1i_m
+
+    us = [ug_ref[0, 0, c].astype(jnp.float32) for c in range(f0)]
+    gs = [g_ref[0, 0, c].astype(jnp.float32) for c in range(f0)]
+    bands = c0_ref.shape[0]
+    j = pl.program_id(1)
+
+    def fwd_inner(xre, xim):
+        rr, ri = cmm_l(f1r_m, f1i_m, f1s_m, xre, xim)
+        xre, xim = cmul(rr, ri, w1r_m, w1i_m)
+        return cmm_r(xre, xim, f2r_m, f2i_m, f2s_m)
+
+    def inv_inner(xre, xim, k0):
+        rr, ri = cmm_r(xre, xim, if2r_m, if2i_m, if2s_m)
+        xre, xim = cmul(rr, ri, w1r_m, -w1i_m)
+        rr2, ri2 = cmm_l(if1r_m, if1i_m, if1s_m, xre, xim)
+        return cmul(rr2, ri2, w0r_ref[0, k0], -w0i_ref[0, k0])
+
+    zs_du, zs_y = [], []
+    for k0 in range(bands):
+        u_ar = u_ai = g_ar = g_ai = None
+        for c in range(f0):
+            cr = c0_ref[k0, c]
+            ci = s0_ref[k0, c]
+            tu_r, tu_i = us[c] * cr, us[c] * ci
+            tg_r, tg_i = gs[c] * cr, gs[c] * ci
+            u_ar = tu_r if u_ar is None else u_ar + tu_r
+            u_ai = tu_i if u_ai is None else u_ai + tu_i
+            g_ar = tg_r if g_ar is None else g_ar + tg_r
+            g_ai = tg_i if g_ai is None else g_ai + tg_i
+        ur_, ui_ = cmul(u_ar, u_ai, w0r_ref[0, k0], w0i_ref[0, k0])
+        gr_, gi_ = cmul(g_ar, g_ai, w0r_ref[0, k0], w0i_ref[0, k0])
+        ufr, ufi = fwd_inner(ur_, ui_)
+        gfr, gfi = fwd_inner(gr_, gi_)
+
+        pr = gfr * ufr + gfi * ufi
+        pi = gfi * ufr - gfr * ufi
+
+        @pl.when(j == 0)
+        def _(k0=k0, pr=pr, pi=pi):
+            dkr_ref[0, k0] = pr
+            dki_ref[0, k0] = pi
+
+        @pl.when(j > 0)
+        def _(k0=k0, pr=pr, pi=pi):
+            dkr_ref[0, k0] += pr
+            dki_ref[0, k0] += pi
+
+        dre, dim_ = cmul(gfr, gfi, kfr_ref[0, k0], -kfi_ref[0, k0])
+        zs_du.append(inv_inner(dre, dim_, k0))
+        if need_y:
+            yre, yim = cmul(ufr, ufi, kfr_ref[0, k0], kfi_ref[0, k0])
+            zs_y.append(inv_inner(yre, yim, k0))
+
+    # inverse outer DFT: ic0/is0 are half-band weighted, real output
+    for c in range(f0):
+        acc_d = acc_y = None
+        for k0 in range(bands):
+            cr = ic0_ref[c, k0]
+            ci = is0_ref[c, k0]
+            zr, zi = zs_du[k0]
+            td = zr * cr - zi * ci
+            acc_d = td if acc_d is None else acc_d + td
+            if need_y:
+                zr, zi = zs_y[k0]
+                ty = zr * cr - zi * ci
+                acc_y = ty if acc_y is None else acc_y + ty
+        du_ref[0, 0, c] = acc_d.astype(du_ref.dtype)
+        if need_y:
+            y_ref[0, 0, c] = acc_y.astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("factors", "compute_dtype", "io_dtype", "need_y")
+)
+def _long_bwd_tiles(
+    ug5, g5, kf_re, kf_im, outer_tables, inner_tables,
+    factors, compute_dtype, io_dtype, need_y,
+):
+    """Run the fused long backward over (B, H, f0, N1, N2) tiles with
+    half-band outer tables (_outer_tables_half). Returns
+    (du5, y5 | None, dkf_re, dkf_im) with dk accumulated over B in the
+    half-band Monarch spectrum layout (H, fb, N1, N2) f32."""
+    f0, n1, n2 = factors
+    b, h = ug5.shape[:2]
+    grid = (h, b)
+    tile = pl.BlockSpec(
+        (1, 1, f0, n1, n2), lambda i, j: (j, i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    bands = kf_re.shape[1]
+    kf_spec = pl.BlockSpec(
+        (1, bands, n1, n2), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    w0_spec = pl.BlockSpec(
+        (1, bands, n1, n2), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    c0, s0, w0r, w0i, ic0, is0 = outer_tables
+    in_specs = [tile, tile, kf_spec, kf_spec,
+                small, small, w0_spec, w0_spec, small, small] + [small] * 10
+    inputs = [ug5, g5, kf_re, kf_im, c0, s0, w0r[None], w0i[None], ic0, is0,
+              *inner_tables]
+
+    out_shape = [jax.ShapeDtypeStruct((b, h, f0, n1, n2), io_dtype)]
+    out_specs = [tile]
+    if need_y:
+        out_shape.append(jax.ShapeDtypeStruct((b, h, f0, n1, n2), io_dtype))
+        out_specs.append(tile)
+    out_shape += [jax.ShapeDtypeStruct((h, bands, n1, n2), jnp.float32)] * 2
+    out_specs += [kf_spec, kf_spec]
+
+    kernel = functools.partial(
+        lambda *refs, **kw: _long_bwd_kernel(refs, **kw),
+        f0=f0,
+        compute_dtype=jnp.dtype(compute_dtype),
+        need_y=need_y,
+    )
+    inner_flops = 2 * (4 * n1 * n1 * n2 + 4 * n1 * n2 * n2 + 2 * n1 * n1 * n2)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (inner_flops * f0 + 8 * f0 * f0 * n1 * n2) * b * h,
+            bytes_accessed=(b * h * f0 * n1 * n2) * (8 if need_y else 6),
+            transcendentals=0,
+        ),
+    )(*inputs)
+    if need_y:
+        du5, y5, dkr, dki = outs
+    else:
+        (du5, dkr, dki), y5 = outs, None
+    return du5, y5, dkr, dki
+
+
 def _finish_dk(plan, dk_re, dk_im, k, half=False):
     """(H, *factor axes) accumulated spectrum cotangent -> dk (H, k_len).
 
@@ -2038,7 +2226,11 @@ def _finish_dk(plan, dk_re, dk_im, k, half=False):
     (>=3-factor) plans, f32 XLA einsums otherwise (XLA's FFT op is far too
     slow on TPU; see monarch_xla.kernel_spectrum). half=True: dk_re/dk_im
     hold only the lower outer bands (dk is real, so they suffice)."""
-    if len(plan.factors) >= 3 and dk_re.ndim == len(plan.factors) + 1 and not _interpret():
+    if (
+        len(plan.factors) >= 3
+        and dk_re.ndim == len(plan.factors) + 1
+        and (half or not _interpret())
+    ):
         dk_t = _inverse_long_dft(plan, dk_re, dk_im, half=half)
     else:
         assert not half
@@ -2046,6 +2238,56 @@ def _finish_dk(plan, dk_re, dk_im, k, half=False):
             plan, dk_re, dk_im, compute_dtype=jnp.float32
         )
     return dk_t[..., : k.shape[-1]].astype(k.dtype)
+
+
+def _gate_finish(plan, u, pregate, postgate, dout, du_inner, y_inner):
+    """du/dpre/dpost from the raw correlation output and the recomputed y."""
+    if pregate is None:
+        du, dpre = du_inner.astype(u.dtype), None
+    else:
+        du = (du_inner * pregate.astype(jnp.float32)).astype(u.dtype)
+        dpre = (du_inner * u.astype(jnp.float32)).astype(pregate.dtype)
+    dpost = (
+        None
+        if postgate is None
+        else (y_inner * dout.astype(jnp.float32)).astype(postgate.dtype)
+    )
+    return du, dpre, dpost
+
+
+def _long_bwd_fused(plan, u, k, pregate, postgate, dout, ug, g):
+    """3-factor (64K-256K) backward as ONE fused kernel (_long_bwd_kernel):
+    du, the recomputed y, and the grid-accumulated dk_f in a single HBM
+    round trip — the backward twin of the fused forward _long_kernel."""
+    length = u.shape[-1]
+    f0, n1, n2 = plan.factors
+    n = plan.seqlen
+    io = _io_dtype(plan, u.dtype)
+    kf_re, kf_im = _kernel_spectrum(plan, k, half=True)
+    kfc_re, kfc_im = _kf_cast(plan, kf_re, kf_im)
+
+    def shape_in(v):
+        v = v.astype(io)
+        if length < n:
+            v = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, n - length)])
+        return v.reshape(v.shape[0], v.shape[1], f0, n1, n2)
+
+    du5, y5, dkr, dki = _long_bwd_tiles(
+        shape_in(ug), shape_in(g), kfc_re, kfc_im,
+        _outer_tables_half(plan), _tables(plan, base=1),
+        factors=plan.factors, compute_dtype=plan.compute_dtype_name,
+        io_dtype=io, need_y=postgate is not None,
+    )
+    b, h = u.shape[:2]
+    du_inner = du5.reshape(b, h, n)[..., :length].astype(jnp.float32)
+    y_inner = (
+        None if y5 is None
+        else y5.reshape(b, h, n)[..., :length].astype(jnp.float32)
+    )
+    dk = _finish_dk(plan, dkr, dki, k, half=True)
+    du, dpre, dpost = _gate_finish(plan, u, pregate, postgate, dout,
+                                   du_inner, y_inner)
+    return du, dk, dpre, dpost
 
 
 def _long_bwd_spectrum_reuse(plan, u, k, pregate, postgate, dout, ug, g):
@@ -2058,7 +2300,10 @@ def _long_bwd_spectrum_reuse(plan, u, k, pregate, postgate, dout, ug, g):
     forward + <=2 half inverse transforms, i.e. a fwd:bwd transform-work
     ratio of 1:2 gated / 1:1.5 ungated, vs 1:3 for the recompute-everything
     layout (the reference's ">=64K backward re-runs the 3-stage pipeline"
-    scheme, /root/reference/flashfftconv/conv.py:1867-3233)."""
+    scheme, /root/reference/flashfftconv/conv.py:1867-3233). 3-factor plans
+    take the fully-fused single-kernel backward instead (_long_bwd_fused)."""
+    if len(plan.factors) == 3 and u.ndim == 3 and not _interpret():
+        return _long_bwd_fused(plan, u, k, pregate, postgate, dout, ug, g)
     length = u.shape[-1]
     bh = u.shape[:-1]
     half = not _interpret()

@@ -191,3 +191,35 @@ def test_half_band_path(rng, seqlen, b, gated):
     g_ref = jax.grad(lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=argnums)(*data)
     for a, b_ in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("gated", [False, True])
+@pytest.mark.parametrize("padded", [False, True])
+def test_long_bwd_fused(rng, gated, padded):
+    """The fully-fused 3-factor backward kernel (_long_bwd_fused: du + y +
+    grid-accumulated dk_f in one pallas_call) against the jnp.fft AD oracle.
+    On CPU the default dispatch keeps the separate-transform path, so this
+    calls the fused implementation directly (interpret mode)."""
+    seqlen = 65536
+    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    length = seqlen // 2 if padded else seqlen
+    data = _data(rng, 2, 2, length, gated=gated)
+    u, k = data[:2]
+    pre, post = (data[2], data[3]) if gated else (None, None)
+    dout = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32) * 0.02)
+
+    g = dout if post is None else dout * post
+    ug = u if pre is None else u * pre
+    du, dk, dpre, dpost = mp._long_bwd_fused(plan, u, k, pre, post, dout, ug, g)
+
+    argnums = tuple(range(len(data)))
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=argnums
+    )(*data)
+    got = [du, dk] + ([dpre, dpost] if gated else [])
+    names = ["u", "k", "pre", "post"][: len(data)]
+    for n, a, b in zip(names, got, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{n}"
+        )
