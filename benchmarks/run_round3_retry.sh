@@ -15,10 +15,12 @@ run() {  # run <name> <timeout_s> <cmd...>
 #    (interpret-mode tests can't catch Mosaic lowering issues).
 run bwd_check 3600 python -u benchmarks/tpu_bwd_check.py
 
-# 2. Re-time fwd+bwd at the 3-factor sizes with the fused backward
-#    (was fwd_bwd/fwd 4.7-6.0 with the separate-transform scheme).
-run bwd_timing 3600 python -u benchmarks/benchmark_flashfftconv.py \
-  --sizes 65536,131072,262144 --csv benchmarks/results_v5e_r3_bwdfused.csv
+# 2. Re-time the sizes the round-3 kernel changes touch: 256-2K (the
+#    _h_tile block-size fix for the small-N dispatch floor) and 64K-256K
+#    (the fused backward; was fwd_bwd/fwd 4.7-6.0 separate-transform).
+run retime 5400 python -u benchmarks/benchmark_flashfftconv.py \
+  --sizes 256,512,1024,2048,65536,131072,262144 \
+  --csv benchmarks/results_v5e_r3_retime.csv
 
 # 3. HyenaDNA 1M training retry at d_model=128 (d=256 needs >16 GB even
 #    with remat; VERDICT round-2 item 2 allows d_model 128-256).

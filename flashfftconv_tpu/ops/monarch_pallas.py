@@ -183,7 +183,11 @@ def _h_tile(n1: int, n2: int, h: int) -> int | None:
     None if h doesn't tile into any valid ht."""
     g = _group_size(n1)
     n = n1 * n2
-    cap = max(g, _H_TILE, min(64, (1 << 18) // n))
+    # Budget ~1 MB per double-buffered I/O block (2 packed rows x ht x N
+    # bf16): ht = 2^18/N. The old min(64, ...) clamp made N <= 2K blocks
+    # tiny (64 KB at N=256) so per-grid-step dispatch/DMA latency dominated
+    # the small-N kernels; the clamp now only guards the degenerate N < 256.
+    cap = max(g, _H_TILE, min(1024, (1 << 18) // n))
     ht = cap - (cap % g)
     while ht >= g:
         if h % ht == 0:
