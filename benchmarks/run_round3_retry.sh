@@ -28,6 +28,12 @@ run hdna_1m_train 5400 python -u examples/hyena_dna/train.py \
   --model large-1m --d_model 128 --steps 6 --remat --time-steps \
   --log-file benchmarks/hyenadna_v5e.jsonl
 
+# 3b. Beyond the reference's 1M flagship: a 2M-token forward (N=4M conv,
+#     the top of the supported ladder) at d_model=128.
+run hdna_2m_fwd 5400 python -u examples/hyena_dna/train.py \
+  --d_model 128 --n_layer 8 --l_max 2097152 --benchmark \
+  --log-file benchmarks/hyenadna_v5e.jsonl
+
 # 4. Hyena-125M retry at B=2 (B=4 peaked at 20.4 GB).
 run hyena125m_train 3600 python -u examples/lm/train.py \
   --preset hyena-125M --batch_size 2 --steps 20 --time-steps --warmup 5 \
