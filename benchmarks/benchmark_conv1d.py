@@ -44,6 +44,7 @@ def main():
     p.add_argument("--ds", default="768,1024,2048,8192")
     p.add_argument("--repeats", type=int, default=20)
     p.add_argument("--no-bwd", action="store_true")
+    p.add_argument("--csv", default=OUT_CSV)
     args = p.parse_args()
     rng = np.random.default_rng(0)
     pad = (args.k - 1) // 2
@@ -84,9 +85,9 @@ def main():
                 f"{tb_ref/tb_mine:.2f}"
             )
             print(rows[-1], flush=True)
-    with open(OUT_CSV, "w") as f:
+    with open(args.csv, "w") as f:
         f.write("\n".join(rows) + "\n")
-    print(f"wrote {OUT_CSV}", flush=True)
+    print(f"wrote {args.csv}", flush=True)
 
 
 if __name__ == "__main__":

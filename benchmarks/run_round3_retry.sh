@@ -22,6 +22,13 @@ run retime 5400 python -u benchmarks/benchmark_flashfftconv.py \
   --sizes 256,512,1024,2048,65536,131072,262144 \
   --csv benchmarks/results_v5e_r3_retime.csv
 
+# 2b. conv1d backward A/B: the same grid with the XLA grouped-conv
+#     backward (FLASHFFTCONV_DW_BWD_CONVS=1) to decide the default
+#     data-driven (the fused bwd measured 0.83-0.91x of XLA AD).
+run conv1d_bwdconvs 3600 env FLASHFFTCONV_DW_BWD_CONVS=1 \
+  python -u benchmarks/benchmark_conv1d.py \
+  --csv benchmarks/results_conv1d_v5e_bwdconvs.csv
+
 # 3. HyenaDNA 1M training retry at d_model=128 (d=256 needs >16 GB even
 #    with remat; VERDICT round-2 item 2 allows d_model 128-256).
 run hdna_1m_train 5400 python -u examples/hyena_dna/train.py \
