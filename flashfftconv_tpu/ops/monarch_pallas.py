@@ -2035,12 +2035,16 @@ def _gated_fwd(plan_key, u, k, pregate, postgate):
     )
 
 
-def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y):
+def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False):
     """Fully-fused 3-factor backward for one (b, h): in ONE HBM round trip,
     recompute Ug = DFT(ug) and G = DFT(g) (outer half-band DFT + twiddle +
     2-way inner Monarch chain, as in _long_kernel), then emit
     du = iDFT(G * conj(K_f)), optionally y = iDFT(Ug * K_f) (for dpostgate),
     and accumulate dk_f += G * conj(Ug) across the batch grid axis.
+
+    complex_io=True is the 4-factor inner stage (the rows are the outer
+    Pallas butterfly's complex output, as in the forward's _long_tiles
+    complex path): full-band outer tables, complex du/y rows out.
 
     The TPU analog of the reference's >=64K backward — which re-runs the
     3-kernel butterfly pipeline twice plus host-side dk reduction
@@ -2049,14 +2053,24 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y):
     for the elimination of every HBM-resident spectrum intermediate the
     separate-transform backward pays for (measured fwd_bwd/fwd 4.7-6.0 at
     64K-256K with the separate-transform scheme, results_v5e_r3.csv)."""
-    ug_ref, g_ref, kfr_ref, kfi_ref = refs[:4]
-    c0_ref, s0_ref, w0r_ref, w0i_ref, ic0_ref, is0_ref = refs[4:10]
-    (f1r, f1i, w1r, w1i, f2r, f2i, if2r, if2i, if1r, if1i) = refs[10:20]
-    i = 20
+    i = 0
+    if complex_io:
+        ugr_ref, ugi_ref, gr_ref, gi_ref = refs[:4]; i = 4
+    else:
+        ugr_ref, gr_ref = refs[:2]; ugi_ref = gi_ref = None; i = 2
+    kfr_ref, kfi_ref = refs[i], refs[i + 1]; i += 2
+    c0_ref, s0_ref, w0r_ref, w0i_ref, ic0_ref, is0_ref = refs[i:i + 6]; i += 6
+    (f1r, f1i, w1r, w1i, f2r, f2i, if2r, if2i, if1r, if1i) = refs[i:i + 10]
+    i += 10
     du_ref = refs[i]; i += 1
-    y_ref = None
+    dui_ref = None
+    if complex_io:
+        dui_ref = refs[i]; i += 1
+    y_ref = yi_ref = None
     if need_y:
         y_ref = refs[i]; i += 1
+        if complex_io:
+            yi_ref = refs[i]; i += 1
     dkr_ref, dki_ref = refs[i], refs[i + 1]
 
     def mm(a, b):
@@ -2086,8 +2100,13 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y):
     if2s_m = if2r_m + if2i_m
     if1s_m = if1r_m + if1i_m
 
-    us = [ug_ref[0, 0, c].astype(jnp.float32) for c in range(f0)]
-    gs = [g_ref[0, 0, c].astype(jnp.float32) for c in range(f0)]
+    def load_pair(re_ref, im_ref, c):
+        re = re_ref[0, 0, c].astype(jnp.float32)
+        im = None if im_ref is None else im_ref[0, 0, c].astype(jnp.float32)
+        return re, im
+
+    us = [load_pair(ugr_ref, ugi_ref, c) for c in range(f0)]
+    gs = [load_pair(gr_ref, gi_ref, c) for c in range(f0)]
     bands = c0_ref.shape[0]
     j = pl.program_id(1)
 
@@ -2108,8 +2127,14 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y):
         for c in range(f0):
             cr = c0_ref[k0, c]
             ci = s0_ref[k0, c]
-            tu_r, tu_i = us[c] * cr, us[c] * ci
-            tg_r, tg_i = gs[c] * cr, gs[c] * ci
+            ur_c, ui_c = us[c]
+            gr_c, gi_c = gs[c]
+            if ui_c is None:
+                tu_r, tu_i = ur_c * cr, ur_c * ci
+                tg_r, tg_i = gr_c * cr, gr_c * ci
+            else:
+                tu_r, tu_i = ur_c * cr - ui_c * ci, ur_c * ci + ui_c * cr
+                tg_r, tg_i = gr_c * cr - gi_c * ci, gr_c * ci + gi_c * cr
             u_ar = tu_r if u_ar is None else u_ar + tu_r
             u_ai = tu_i if u_ai is None else u_ai + tu_i
             g_ar = tg_r if g_ar is None else g_ar + tg_r
@@ -2138,22 +2163,33 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y):
             yre, yim = cmul(ufr, ufi, kfr_ref[0, k0], kfi_ref[0, k0])
             zs_y.append(inv_inner(yre, yim, k0))
 
-    # inverse outer DFT: ic0/is0 are half-band weighted, real output
+    # inverse outer DFT: real-input case uses half-band weighted ic0/is0
+    # (real output); complex_io uses full tables and emits complex rows.
     for c in range(f0):
-        acc_d = acc_y = None
+        acc_d = acc_di = acc_y = acc_yi = None
         for k0 in range(bands):
             cr = ic0_ref[c, k0]
             ci = is0_ref[c, k0]
             zr, zi = zs_du[k0]
             td = zr * cr - zi * ci
             acc_d = td if acc_d is None else acc_d + td
+            if complex_io:
+                tdi = zr * ci + zi * cr
+                acc_di = tdi if acc_di is None else acc_di + tdi
             if need_y:
                 zr, zi = zs_y[k0]
                 ty = zr * cr - zi * ci
                 acc_y = ty if acc_y is None else acc_y + ty
+                if complex_io:
+                    tyi = zr * ci + zi * cr
+                    acc_yi = tyi if acc_yi is None else acc_yi + tyi
         du_ref[0, 0, c] = acc_d.astype(du_ref.dtype)
+        if complex_io:
+            dui_ref[0, 0, c] = acc_di.astype(dui_ref.dtype)
         if need_y:
             y_ref[0, 0, c] = acc_y.astype(y_ref.dtype)
+            if complex_io:
+                yi_ref[0, 0, c] = acc_yi.astype(yi_ref.dtype)
 
 
 @functools.partial(
@@ -2162,12 +2198,19 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y):
 def _long_bwd_tiles(
     ug5, g5, kf_re, kf_im, outer_tables, inner_tables,
     factors, compute_dtype, io_dtype, need_y,
+    ug5_im=None, g5_im=None,
 ):
     """Run the fused long backward over (B, H, f0, N1, N2) tiles with
     half-band outer tables (_outer_tables_half). Returns
     (du5, y5 | None, dkf_re, dkf_im) with dk accumulated over B in the
-    half-band Monarch spectrum layout (H, fb, N1, N2) f32."""
+    half-band Monarch spectrum layout (H, fb, N1, N2) f32.
+
+    Passing ug5_im/g5_im switches to complex I/O (the 4-factor inner stage:
+    rows are the outer butterfly's complex output, outer_tables must be the
+    full-band _outer_tables): returns (du5, du5_im, y5, y5_im | Nones,
+    dkf_re, dkf_im)."""
     f0, n1, n2 = factors
+    complex_io = ug5_im is not None
     b, h = ug5.shape[:2]
     grid = (h, b)
     tile = pl.BlockSpec(
@@ -2183,16 +2226,16 @@ def _long_bwd_tiles(
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     c0, s0, w0r, w0i, ic0, is0 = outer_tables
-    in_specs = [tile, tile, kf_spec, kf_spec,
+    sig = [ug5, ug5_im, g5, g5_im] if complex_io else [ug5, g5]
+    in_specs = [tile] * len(sig) + [kf_spec, kf_spec,
                 small, small, w0_spec, w0_spec, small, small] + [small] * 10
-    inputs = [ug5, g5, kf_re, kf_im, c0, s0, w0r[None], w0i[None], ic0, is0,
-              *inner_tables]
+    inputs = sig + [kf_re, kf_im, c0, s0, w0r[None], w0i[None], ic0, is0,
+                    *inner_tables]
 
-    out_shape = [jax.ShapeDtypeStruct((b, h, f0, n1, n2), io_dtype)]
-    out_specs = [tile]
-    if need_y:
-        out_shape.append(jax.ShapeDtypeStruct((b, h, f0, n1, n2), io_dtype))
-        out_specs.append(tile)
+    row = jax.ShapeDtypeStruct((b, h, f0, n1, n2), io_dtype)
+    n_rows = (2 if complex_io else 1) * (2 if need_y else 1)
+    out_shape = [row] * n_rows
+    out_specs = [tile] * n_rows
     out_shape += [jax.ShapeDtypeStruct((h, bands, n1, n2), jnp.float32)] * 2
     out_specs += [kf_spec, kf_spec]
 
@@ -2201,6 +2244,7 @@ def _long_bwd_tiles(
         f0=f0,
         compute_dtype=jnp.dtype(compute_dtype),
         need_y=need_y,
+        complex_io=complex_io,
     )
     inner_flops = 2 * (4 * n1 * n1 * n2 + 4 * n1 * n2 * n2 + 2 * n1 * n1 * n2)
     outs = pl.pallas_call(
@@ -2212,10 +2256,17 @@ def _long_bwd_tiles(
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * (inner_flops * f0 + 8 * f0 * f0 * n1 * n2) * b * h,
-            bytes_accessed=(b * h * f0 * n1 * n2) * (8 if need_y else 6),
+            bytes_accessed=(b * h * f0 * n1 * n2) * (8 if need_y else 6)
+            * (2 if complex_io else 1),
             transcendentals=0,
         ),
     )(*inputs)
+    if complex_io:
+        if need_y:
+            du5, du5i, y5, y5i, dkr, dki = outs
+        else:
+            (du5, du5i, dkr, dki), y5, y5i = outs, None, None
+        return du5, du5i, y5, y5i, dkr, dki
     if need_y:
         du5, y5, dkr, dki = outs
     else:
@@ -2294,6 +2345,82 @@ def _long_bwd_fused(plan, u, k, pregate, postgate, dout, ug, g):
     return du, dk, dpre, dpost
 
 
+def _long4_bwd_fused(plan, u, k, pregate, postgate, dout, ug, g):
+    """4-factor (512K-4M) backward: outer Pallas butterfly on ug and g
+    (half f00 bands, bf16 rows), ONE fused complex inner backward kernel
+    over factors 1..3 (du rows + recomputed-y rows + grid-accumulated dk_f
+    in a single HBM round trip), then inverse outer butterflies for du / y.
+    The backward twin of the forward's butterfly + _long_tiles(complex) +
+    inverse-butterfly pipeline: it eliminates the HBM-resident full spectra
+    and the separate product passes the spectrum-reuse backward pays for
+    (the remaining analog of the reference's re-run-the-pipeline >=64K
+    backward, /root/reference/flashfftconv/conv.py:1867-3233)."""
+    length = u.shape[-1]
+    f00, f0, n1, n2 = plan.factors
+    n = plan.seqlen
+    r = n // f00
+    rt = r // 128
+    io = _io_dtype(plan, u.dtype)
+    b, h = u.shape[:2]
+    fb = _half_bands(f00)
+    kf_re, kf_im = _kernel_spectrum(plan, k, half=True)  # (h, fb, f0, n1, n2)
+    kfc_re, kfc_im = _kf_cast(plan, kf_re, kf_im)
+
+    w0r = plan.tw_re[0].reshape(f00, rt, 128)
+    w0i = plan.tw_im[0].reshape(f00, rt, 128)
+
+    def shape_in(v):
+        v = v.astype(io)
+        if length < n:
+            v = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, n - length)])
+        return v.reshape(v.shape[0], v.shape[1], f00, rt, 128)
+
+    def fwd_butterfly(x):
+        return _butterfly_tiles(
+            shape_in(x), None,
+            plan.dft_re[0][:fb], plan.dft_im[0][:fb], w0r[:fb], w0i[:fb],
+            compute_dtype=plan.compute_dtype, io_dtype=io,
+            packed=False, inverse=False,
+        )
+
+    ubr, ubi = fwd_butterfly(ug)  # (b, h, fb, rt, 128)
+    gbr, gbi = fwd_butterfly(g)
+
+    def rows(v):
+        return v.reshape(b, h * fb, f0, n1, n2)
+
+    du5, du5i, y5, y5i, dkr, dki = _long_bwd_tiles(
+        rows(ubr), rows(gbr),
+        kfc_re.reshape(h * fb, f0, n1, n2),
+        kfc_im.reshape(h * fb, f0, n1, n2),
+        _outer_tables(plan, base=1), _tables(plan, base=2),
+        factors=plan.factors[1:], compute_dtype=plan.compute_dtype_name,
+        io_dtype=io, need_y=postgate is not None,
+        ug5_im=rows(ubi), g5_im=rows(gbi),
+    )
+
+    wts = jnp.asarray(_half_weights(f00))
+    bic0r = plan.idft_re[0][:, :fb] * wts
+    bic0i = plan.idft_im[0][:, :fb] * wts
+
+    def inv_butterfly(zre, zim):
+        o, _ = _butterfly_tiles(
+            zre.reshape(b, h, fb, rt, 128), zim.reshape(b, h, fb, rt, 128),
+            bic0r, bic0i, w0r[:fb], w0i[:fb],
+            compute_dtype=plan.compute_dtype, io_dtype=jnp.float32,
+            packed=False, inverse=True,
+        )
+        return o.reshape(b, h, n)[..., :length]
+
+    du_inner = inv_butterfly(du5, du5i)
+    y_inner = None if y5 is None else inv_butterfly(y5, y5i)
+    dk = _finish_dk(plan, dkr.reshape(h, fb, f0, n1, n2),
+                    dki.reshape(h, fb, f0, n1, n2), k, half=True)
+    du, dpre, dpost = _gate_finish(plan, u, pregate, postgate, dout,
+                                   du_inner, y_inner)
+    return du, dk, dpre, dpost
+
+
 def _long_bwd_spectrum_reuse(plan, u, k, pregate, postgate, dout, ug, g):
     """Backward for long (3/4-factor, >=64K) plans with forward-spectrum
     reuse: ONE forward DFT each of ug = pre*u and g = post*dout serves all
@@ -2304,25 +2431,37 @@ def _long_bwd_spectrum_reuse(plan, u, k, pregate, postgate, dout, ug, g):
     forward + <=2 half inverse transforms, i.e. a fwd:bwd transform-work
     ratio of 1:2 gated / 1:1.5 ungated, vs 1:3 for the recompute-everything
     layout (the reference's ">=64K backward re-runs the 3-stage pipeline"
-    scheme, /root/reference/flashfftconv/conv.py:1867-3233). 3-factor plans
-    take the fully-fused single-kernel backward instead (_long_bwd_fused)."""
+    scheme, /root/reference/flashfftconv/conv.py:1867-3233). On TPU this
+    path only serves 2-D (rows) inputs: 3-factor plans take the fully-fused
+    single-kernel backward (_long_bwd_fused) and 4-factor plans the
+    butterfly + fused-complex-inner pipeline (_long4_bwd_fused)."""
     if len(plan.factors) == 3 and u.ndim == 3 and not _interpret():
         return _long_bwd_fused(plan, u, k, pregate, postgate, dout, ug, g)
+    if len(plan.factors) == 4 and u.ndim == 3 and not _interpret():
+        return _long4_bwd_fused(plan, u, k, pregate, postgate, dout, ug, g)
     length = u.shape[-1]
     bh = u.shape[:-1]
     half = not _interpret()
     kf_re, kf_im = _kernel_spectrum(plan, k, half=half)
 
+    # Spectrum I/O dtype: the Pallas long-DFT stages emit the plan compute
+    # dtype (bf16) — keeping the HBM-resident spectra there (instead of the
+    # old eager f32 upcast) removes a full-tensor convert pass and halves
+    # the traffic of every product below; products upcast to f32 in-register
+    # (XLA fuses the converts into the elementwise loops) and dk accumulates
+    # in f32. du/y then ride the same bf16 pipeline as the forward output,
+    # whose 1e-2 parity is hardware-verified (benchmarks/tpu_parity.json).
+    f32 = jnp.float32
+
     def fwd_rows(x):
         x2 = x.reshape(-1, length)
         if half:
-            r, i = _forward_long_dft(plan, x2.astype(jnp.float32), half=True)
-            return r.astype(jnp.float32), i.astype(jnp.float32)
-        x2 = x2.astype(jnp.float32)
+            return _forward_long_dft(plan, x2.astype(f32), half=True)
+        x2 = x2.astype(f32)
         if length < plan.seqlen:
             x2 = jnp.pad(x2, ((0, 0), (0, plan.seqlen - length)))
         r, i = monarch_xla.monarch_dft(plan, x2)
-        return r.astype(jnp.float32), i.astype(jnp.float32)
+        return r.astype(f32), i.astype(f32)
 
     def inv_rows(r, i):
         """Planar Monarch spectrum rows -> real (C, length) signal."""
@@ -2330,29 +2469,33 @@ def _long_bwd_spectrum_reuse(plan, u, k, pregate, postgate, dout, ug, g):
             o = _inverse_long_dft(plan, r, i, half=True)
         else:
             o, _ = monarch_xla.monarch_idft(plan, r, i)
-        return o[..., :length].astype(jnp.float32)
+        return o[..., :length].astype(f32)
 
     ur, ui = fwd_rows(ug)
     gr, gi = fwd_rows(g)
     fshape = ur.shape[1:]
+    spec_io = ur.dtype
 
     # dk_f = sum over batch of G * conj(Ug)  (per-channel outer product).
-    dk_re = (gr * ur + gi * ui).reshape(bh + fshape)
-    dk_im = (gi * ur - gr * ui).reshape(bh + fshape)
+    dk_re = (gr.astype(f32) * ur.astype(f32)
+             + gi.astype(f32) * ui.astype(f32)).reshape(bh + fshape)
+    dk_im = (gi.astype(f32) * ur.astype(f32)
+             - gr.astype(f32) * ui.astype(f32)).reshape(bh + fshape)
     sum_axes = tuple(range(len(bh) - 1))
     dk = _finish_dk(plan, dk_re.sum(sum_axes), dk_im.sum(sum_axes), k, half=half)
 
     # du = iFFT(G * conj(K_f)); K_f broadcasts over the batch dims.
-    kr = kf_re.astype(jnp.float32)
-    ki = kf_im.astype(jnp.float32)
+    kr = kf_re.astype(f32)
+    ki = kf_im.astype(f32)
     if len(bh) == 2:
         kb_r = jnp.broadcast_to(kr[None], bh + fshape).reshape((-1,) + fshape)
         kb_i = jnp.broadcast_to(ki[None], bh + fshape).reshape((-1,) + fshape)
     else:
         kb_r, kb_i = kr, ki
-    du_inner = inv_rows(gr * kb_r + gi * kb_i, gi * kb_r - gr * kb_i).reshape(
-        bh + (length,)
-    )
+    du_inner = inv_rows(
+        (gr.astype(f32) * kb_r + gi.astype(f32) * kb_i).astype(spec_io),
+        (gi.astype(f32) * kb_r - gr.astype(f32) * kb_i).astype(spec_io),
+    ).reshape(bh + (length,))
     if pregate is None:
         du, dpre = du_inner.astype(u.dtype), None
     else:
@@ -2363,9 +2506,10 @@ def _long_bwd_spectrum_reuse(plan, u, k, pregate, postgate, dout, ug, g):
         dpost = None
     else:
         # y (without postgate) = iFFT(Ug * K_f), reusing Ug.
-        y_inner = inv_rows(ur * kb_r - ui * kb_i, ur * kb_i + ui * kb_r).reshape(
-            bh + (length,)
-        )
+        y_inner = inv_rows(
+            (ur.astype(f32) * kb_r - ui.astype(f32) * kb_i).astype(spec_io),
+            (ur.astype(f32) * kb_i + ui.astype(f32) * kb_r).astype(spec_io),
+        ).reshape(bh + (length,))
         dpost = (y_inner * dout.astype(jnp.float32)).astype(postgate.dtype)
     return du, dk, dpre, dpost
 

@@ -223,3 +223,35 @@ def test_long_bwd_fused(rng, gated, padded):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{n}"
         )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("gated,padded", [(False, True), (True, False)])
+def test_long4_bwd_fused(rng, gated, padded):
+    """The 4-factor fused backward (_long4_bwd_fused: outer butterflies +
+    fused complex inner kernel + inverse butterflies) against the jnp.fft
+    AD oracle. On CPU the default dispatch keeps the separate-transform
+    path, so this calls the fused implementation directly (interpret)."""
+    seqlen = 524288
+    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    assert len(plan.factors) == 4
+    length = seqlen // 2 if padded else seqlen
+    data = _data(rng, 2, 2, length, gated=gated)
+    u, k = data[:2]
+    pre, post = (data[2], data[3]) if gated else (None, None)
+    dout = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32) * 0.02)
+
+    g = dout if post is None else dout * post
+    ug = u if pre is None else u * pre
+    du, dk, dpre, dpost = mp._long4_bwd_fused(plan, u, k, pre, post, dout, ug, g)
+
+    argnums = tuple(range(len(data)))
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=argnums
+    )(*data)
+    got = [du, dk] + ([dpre, dpost] if gated else [])
+    names = ["u", "k", "pre", "post"][: len(data)]
+    for n, a, b in zip(names, got, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{n}"
+        )
