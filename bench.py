@@ -136,7 +136,11 @@ def main():
     if not device_reachable():
         log("bench.py: device unreachable (probe timed out) — the TPU relay "
             "is down; refusing to emit a bogus result line")
-        sys.exit(3)
+        # os._exit, not sys.exit: the axon client's C++ teardown aborts the
+        # interpreter (SIGABRT, rc 134) when atexit runs with the relay dead,
+        # clobbering the clean rc=3 refusal (observed in BENCH_r03.json).
+        sys.stderr.flush()
+        os._exit(3)
 
     import jax
     import jax.numpy as jnp

@@ -11,6 +11,9 @@ incrementally to benchmarks/tpu_parity.json so partial sweeps survive.
 
 Run:  python benchmarks/tpu_parity.py            # full sweep
       TPU_PARITY_SIZES=256,32768 python ...      # subset
+      TPU_PARITY_FORCE=1 python ...              # re-run + replace existing
+                                                 # records for the swept sizes
+                                                 # (use after a kernel change)
 """
 
 from __future__ import annotations
@@ -32,6 +35,10 @@ VARIANTS = ["plain", "padded", "gated", "gated_padded"]
 # Gradient parity on the two ends of the feature matrix: ungated/unpadded and
 # gated+padded (which exercises pregate/postgate grads and the L<N masking).
 GRAD_VARIANTS = ("plain", "gated_padded")
+# 2-D (H, L) "rows" inputs at >=64K take _long_bwd_spectrum_reuse on TPU
+# (3-D inputs dispatch to the fused 3-/4-factor backwards), so they need
+# their own hardware grad coverage (ADVICE r3 item 4).
+ROWS_GRAD_MIN_SEQLEN = 65536
 
 OUT_PATH = os.path.join(os.path.dirname(__file__), "tpu_parity.json")
 
@@ -59,7 +66,11 @@ def run_case(ff, jax, jnp, rng, seqlen, variant, check_grads):
     length = seqlen // 2 if padded else seqlen
     dtype = jnp.bfloat16
 
-    u = jnp.asarray((rng.standard_normal((b, h, length)) * 0.02).astype(np.float32)).astype(dtype)
+    if variant == "rows":  # 2-D (H, L) input: the spectrum-reuse backward
+        u_shape = (h, length)
+    else:
+        u_shape = (b, h, length)
+    u = jnp.asarray((rng.standard_normal(u_shape) * 0.02).astype(np.float32)).astype(dtype)
     k = jnp.asarray(
         (rng.standard_normal((h, length)) * 0.02 * np.exp(-0.1 * np.arange(length))).astype(np.float32)
     )
@@ -117,6 +128,7 @@ def main():
     ff.resolve_impl = resolve_impl
 
     sizes = [int(s) for s in os.environ.get("TPU_PARITY_SIZES", "").split(",") if s] or ALL_SIZES
+    force = bool(int(os.environ.get("TPU_PARITY_FORCE", "0")))
     rng = np.random.default_rng(0)
     platform = jax.devices()[0].platform
 
@@ -126,6 +138,8 @@ def main():
             results = json.load(open(OUT_PATH))["results"]
         except Exception:
             results = []
+    if force:  # drop stale records for the sizes being re-swept
+        results = [r for r in results if r["seqlen"] not in sizes]
     done = {(r["seqlen"], r["variant"]) for r in results}
 
     def flush():
@@ -136,14 +150,15 @@ def main():
         )
 
     for seqlen in sizes:
-        for variant in VARIANTS:
+        variants = VARIANTS + (["rows"] if seqlen >= ROWS_GRAD_MIN_SEQLEN else [])
+        for variant in variants:
             if (seqlen, variant) in done:
                 continue
             t0 = time.time()
             try:
                 rec = run_case(
                     ff, jax, jnp, rng, seqlen, variant,
-                    check_grads=variant in GRAD_VARIANTS,
+                    check_grads=variant in GRAD_VARIANTS or variant == "rows",
                 )
             except Exception as e:  # record the failure, keep sweeping
                 rec = {"seqlen": seqlen, "variant": variant, "ok": False, "error": repr(e)[:500]}

@@ -38,9 +38,12 @@ QUICK_NODEIDS = {
     "test_fftconv.py::test_fftconv_gated_padded[bfloat16-32768]",
     "test_fftconv.py::test_fftconv_long[131072]",
     "test_fftconv.py::test_module_gated_grad_under_jit",
-    # pallas kernels (interpret mode on CPU)
+    # pallas kernels (interpret mode on CPU) — one case per kernel family:
+    # fused 2-factor, 3-factor grads, 4-level butterfly pipeline, half-band
     "test_pallas.py::test_pallas_forward[False-2048]",
     "test_pallas.py::test_pallas_grads[False-4096]",
+    "test_pallas.py::test_pallas_4level_path[524288]",
+    "test_pallas.py::test_half_band_path[False-65536-1]",
     # depthwise conv1d
     "test_depthwise.py::test_pallas_path_forward[5-2-True]",
     "test_depthwise.py::test_backward",

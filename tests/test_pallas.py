@@ -226,7 +226,7 @@ def test_long_bwd_fused(rng, gated, padded):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("gated,padded", [(False, True), (True, False)])
+@pytest.mark.parametrize("gated,padded", [(False, True), (True, False), (True, True)])
 def test_long4_bwd_fused(rng, gated, padded):
     """The 4-factor fused backward (_long4_bwd_fused: outer butterflies +
     fused complex inner kernel + inverse butterflies) against the jnp.fft
