@@ -30,6 +30,16 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flashfftconv_tpu.ops import plan as plan_mod
+
+
+def _compiler_params():
+    """Raise Mosaic's scoped-VMEM cap to the configured budget (the same
+    knob as the long-conv kernels; see plan.VMEM_BUDGET_MB)."""
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=max(plan_mod.VMEM_BUDGET_MB, 16) * 2**20
+    )
+
 # Largest L handled as a single VMEM strip; longer sequences are processed
 # in _L_TILE chunks with an XLA-precomputed (k-1)-row halo per chunk edge
 # (one extra read of 2*(k-1)*D elements per tile — negligible vs the strip).
@@ -40,6 +50,17 @@ _L_TILE = 4096
 # 4096 with k=7).
 _L_TILE_BHL = 2048
 _D_TILE = 128
+
+
+def _d_tile(d: int) -> int:
+    """Channel-tile width: the widest multiple-of-128 lane tile dividing d.
+    At D=768 the 128-lane tile costs 6x the grid steps (and their per-step
+    DMA latency) of a 384-lane tile for the same traffic — the measured
+    0.66-0.95x fwd corners at D=768 (results_conv1d_v5e.csv rows 1-2, 9)."""
+    for t in (512, 384, 256, 128):
+        if d % t == 0:
+            return t
+    return _D_TILE
 
 
 def _check(weights, bias, k):
@@ -140,44 +161,46 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
 
     if is_bhl:
         b, d, _ = x.shape
-        grid = (b, nt, d // _D_TILE)
+        dt = _d_tile(d)
+        grid = (b, nt, d // dt)
         x_spec = pl.BlockSpec(
-            (1, _D_TILE, lt), lambda i, t, j: (i, j, t), memory_space=pltpu.VMEM
+            (1, dt, lt), lambda i, t, j: (i, j, t), memory_space=pltpu.VMEM
         )
         w_spec = pl.BlockSpec(
-            (k, _D_TILE), lambda i, t, j: (0, j), memory_space=pltpu.VMEM
+            (k, dt), lambda i, t, j: (0, j), memory_space=pltpu.VMEM
         )
         b_spec = pl.BlockSpec(
-            (1, _D_TILE), lambda i, t, j: (0, j), memory_space=pltpu.VMEM
+            (1, dt), lambda i, t, j: (0, j), memory_space=pltpu.VMEM
         )
         halo_spec = pl.BlockSpec(
-            (1, 1, _D_TILE, 2 * hp), lambda i, t, j: (i, t, j, 0),
+            (1, 1, dt, 2 * hp), lambda i, t, j: (i, t, j, 0),
             memory_space=pltpu.VMEM,
         )
         out_spec = pl.BlockSpec(
-            (1, _D_TILE, lt if nt > 1 else l_out),
+            (1, dt, lt if nt > 1 else l_out),
             lambda i, t, j: (i, j, t),
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct((b, d, l_out), out_dtype)
     else:
         b, _, d = x.shape
-        grid = (b, nt, d // _D_TILE)
+        dt = _d_tile(d)
+        grid = (b, nt, d // dt)
         x_spec = pl.BlockSpec(
-            (1, lt, _D_TILE), lambda i, t, j: (i, t, j), memory_space=pltpu.VMEM
+            (1, lt, dt), lambda i, t, j: (i, t, j), memory_space=pltpu.VMEM
         )
         w_spec = pl.BlockSpec(
-            (k, _D_TILE), lambda i, t, j: (0, j), memory_space=pltpu.VMEM
+            (k, dt), lambda i, t, j: (0, j), memory_space=pltpu.VMEM
         )
         b_spec = pl.BlockSpec(
-            (1, _D_TILE), lambda i, t, j: (0, j), memory_space=pltpu.VMEM
+            (1, dt), lambda i, t, j: (0, j), memory_space=pltpu.VMEM
         )
         halo_spec = pl.BlockSpec(
-            (1, 1, 2 * hp, _D_TILE), lambda i, t, j: (i, t, 0, j),
+            (1, 1, 2 * hp, dt), lambda i, t, j: (i, t, 0, j),
             memory_space=pltpu.VMEM,
         )
         out_spec = pl.BlockSpec(
-            (1, lt if nt > 1 else l_out, _D_TILE),
+            (1, lt if nt > 1 else l_out, dt),
             lambda i, t, j: (i, t, j),
             memory_space=pltpu.VMEM,
         )
@@ -207,14 +230,14 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
                 left = halo_ref[0, 0, :, :hp] if is_bhl else halo_ref[0, 0, :hp, :]
                 right = halo_ref[0, 0, :, hp:] if is_bhl else halo_ref[0, 0, hp:, :]
             else:
-                zshape = (_D_TILE, hp) if is_bhl else (hp, _D_TILE)
+                zshape = (dt, hp) if is_bhl else (hp, dt)
                 left = right = jnp.zeros(zshape, x_ref.dtype)
             # xe stays in the input dtype — a persistent f32 copy at bf16
             # inputs would double its VMEM footprint (observed: scoped-vmem
             # OOM at the BHL L-tile); slices widen transiently at use.
             xe = jnp.concatenate([left, x_ref[0], right], axis=ax)
             acc = jnp.zeros(
-                (_D_TILE, tile_out) if is_bhl else (tile_out, _D_TILE), jnp.float32
+                (dt, tile_out) if is_bhl else (tile_out, dt), jnp.float32
             )
             for tap in range(k):
                 s = tap - pl_  # out[l] += w[tap] * x[l + s] = xe[hp + l + s]
@@ -229,7 +252,7 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
             # only reachable single-tile (nt == 1), where the sequence edge
             # is the only boundary.
             acc = jnp.zeros(
-                (_D_TILE, tile_out) if is_bhl else (tile_out, _D_TILE), jnp.float32
+                (dt, tile_out) if is_bhl else (tile_out, dt), jnp.float32
             )
             for tap in range(k):
                 s = tap - pl_
@@ -259,13 +282,15 @@ def _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
     if has_bias:
         in_specs.append(b_spec)
         inputs.append(bias.reshape(1, -1))
+    interp = jax.default_backend() != "tpu"
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
-        interpret=jax.default_backend() != "tpu",
+        interpret=interp,
+        compiler_params=None if interp else _compiler_params(),
     )(*inputs)
 
 
@@ -298,9 +323,15 @@ def _build_halos(x, lt, nt, hp, axis):
 _DK_ROWS = 16
 
 # The fused backward holds ~3 f32 strips plus per-tap temporaries live at
-# once, so its tile is half the forward's to stay inside scoped VMEM.
-_L_TILE_BWD = 2048
-_L_TILE_BWD_BHL = 1024
+# once. Under Mosaic's 16 MB default cap its tile is half the forward's and
+# the strips stay in the input dtype (widened transiently per tap); with a
+# raised VMEM budget (plan.VMEM_BUDGET_MB, hardware-probed) the tile matches
+# the forward's and both strips are converted to f32 ONCE — the per-tap
+# widening costs ~2k extra full-strip VPU passes, which is what left the
+# committed backward at 0.47-0.72x of XLA's AD (results_conv1d_v5e.csv).
+_BWD_BIG = plan_mod.VMEM_BUDGET_MB >= 48
+_L_TILE_BWD = _L_TILE if _BWD_BIG else 2048
+_L_TILE_BWD_BHL = _L_TILE_BHL if _BWD_BIG else 1024
 
 
 @functools.partial(jax.jit, static_argnames=("padding", "is_bhl"))
@@ -336,26 +367,27 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
 
     # Grid: d-tiles outermost so the accumulated dk block's revisits (over
     # b and t) are consecutive.
-    grid = (d // _D_TILE, b, nt)
+    dt = _d_tile(d)
+    grid = (d // dt, b, nt)
     if is_bhl:
         io_spec = pl.BlockSpec(
-            (1, _D_TILE, lt), lambda j, i, t: (i, j, t), memory_space=pltpu.VMEM
+            (1, dt, lt), lambda j, i, t: (i, j, t), memory_space=pltpu.VMEM
         )
         halo_spec = pl.BlockSpec(
-            (1, 1, _D_TILE, 2 * hp), lambda j, i, t: (i, t, j, 0),
+            (1, 1, dt, 2 * hp), lambda j, i, t: (i, t, j, 0),
             memory_space=pltpu.VMEM,
         )
     else:
         io_spec = pl.BlockSpec(
-            (1, lt, _D_TILE), lambda j, i, t: (i, t, j), memory_space=pltpu.VMEM
+            (1, lt, dt), lambda j, i, t: (i, t, j), memory_space=pltpu.VMEM
         )
         halo_spec = pl.BlockSpec(
-            (1, 1, 2 * hp, _D_TILE), lambda j, i, t: (i, t, 0, j),
+            (1, 1, 2 * hp, dt), lambda j, i, t: (i, t, 0, j),
             memory_space=pltpu.VMEM,
         )
-    w_spec = pl.BlockSpec((k, _D_TILE), lambda j, i, t: (0, j), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((k, dt), lambda j, i, t: (0, j), memory_space=pltpu.VMEM)
     dk_spec = pl.BlockSpec(
-        (_DK_ROWS, _D_TILE), lambda j, i, t: (0, j), memory_space=pltpu.VMEM
+        (_DK_ROWS, dt), lambda j, i, t: (0, j), memory_space=pltpu.VMEM
     )
 
     def kernel(*refs):
@@ -377,25 +409,28 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
         ax = 1 if is_bhl else 0
 
         def extended(tile_ref, halo_ref):
-            """[left halo | tile | right halo] as one strip in the input
-            dtype — built once, so each tap's shifted window is a plain
-            slice instead of a zeros+pad+add pass (the bwd kernel was
-            VPU-bound on those). Slices widen to f32 transiently at use;
-            a persistent f32 strip would blow the scoped-VMEM budget."""
+            """[left halo | tile | right halo] as one strip — built once, so
+            each tap's shifted window is a plain slice instead of a
+            zeros+pad+add pass (the bwd kernel was VPU-bound on those).
+            With the raised VMEM budget (_BWD_BIG) the strip is converted
+            to f32 HERE, once; under the 16 MB default it stays in the
+            input dtype and slices widen transiently at use (a persistent
+            f32 strip exceeds the default scoped-VMEM cap)."""
             if halo_ref is not None:
                 left = halo_ref[0, 0, :, :hp] if is_bhl else halo_ref[0, 0, :hp, :]
                 right = halo_ref[0, 0, :, hp:] if is_bhl else halo_ref[0, 0, hp:, :]
             else:
-                zshape = (_D_TILE, hp) if is_bhl else (hp, _D_TILE)
+                zshape = (dt, hp) if is_bhl else (hp, dt)
                 left = right = jnp.zeros(zshape, tile_ref.dtype)
-            return jnp.concatenate([left, tile_ref[0], right], axis=ax)
+            xe = jnp.concatenate([left, tile_ref[0], right], axis=ax)
+            return xe.astype(jnp.float32) if _BWD_BIG else xe
 
         def shifted(xe, s):
             """xe rows [hp + s, hp + s + lt) — tile rows l + s — as f32."""
             seg = (
                 xe[:, hp + s : hp + s + lt] if is_bhl else xe[hp + s : hp + s + lt, :]
             )
-            return seg.astype(jnp.float32)
+            return seg if _BWD_BIG else seg.astype(jnp.float32)
 
         xe = extended(x_ref, xh_ref)
         de = extended(dout_ref, dh_ref)
@@ -415,7 +450,7 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
         dbias_new = dout_f.sum(axis=l_axis)[None]  # (1, DT)
         pad_rows = _DK_ROWS - k - 1
         update = jnp.concatenate(
-            [dk_new, dbias_new, jnp.zeros((pad_rows, _D_TILE), jnp.float32)]
+            [dk_new, dbias_new, jnp.zeros((pad_rows, dt), jnp.float32)]
         )
         dk_ref[...] = dk_ref[...] + update
         du_ref[0] = du_acc.astype(du_ref.dtype)
@@ -431,13 +466,15 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
     # once at the store, and writing f32 would double the dominant HBM write.
     du_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
     dk_shape = jax.ShapeDtypeStruct((_DK_ROWS, d), jnp.float32)
+    interp = jax.default_backend() != "tpu"
     du, dk_pad = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[io_spec, dk_spec],
         out_shape=[du_shape, dk_shape],
-        interpret=jax.default_backend() != "tpu",
+        interpret=interp,
+        compiler_params=None if interp else _compiler_params(),
     )(*inputs)
     return du, dk_pad[:k], dk_pad[k]
 

@@ -43,17 +43,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flashfftconv_tpu.ops import monarch_xla
+from flashfftconv_tpu.ops import plan as plan_mod
 from flashfftconv_tpu.ops.plan import FftPlan
 
 MAX_FUSED_SEQLEN = 32768
 
+# Outer f0-point DFT formulation inside the fused long kernels: below this
+# f0 the unrolled VPU multiply-adds win (bands*f0 <= ~15 full-tile passes);
+# from f0 >= 8 the bands*f0 VPU passes dominate the whole kernel and the
+# low-K MXU matmul formulation (_mxu_outer_*) takes over.
+_MXU_OUTER_MIN_F0 = 8
+
+
+def _fused3_vmem_mb(plan: FftPlan) -> float:
+    """Upper-bound estimate of the fused long kernel's live VMEM (MB), sized
+    for the worst case (packed batch pairs, both gates, complex f32 band
+    results): pipeline-managed I/O blocks are double-buffered, xs/zs are f32
+    kernel temporaries, tables include the Karatsuba sums built in-kernel."""
+    f0, n1, n2 = plan.factors[-3:]
+    t = n1 * n2
+    bands = f0 // 2 + 1
+    io = 2  # bf16 HBM I/O
+    blocks = 2 * f0 * t * io * 2 * 2        # x + out, 2 packed rows, 2 buffers
+    gates = 2 * f0 * t * io * 2 * 2         # pre + post gate blocks
+    kf = 2 * bands * t * io * 2             # planar spectrum, 2 buffers
+    w0 = 2 * bands * t * 4                  # f32 outer twiddle (constant-index)
+    xs = 2 * f0 * t * 4                     # complex f32 chunk loads
+    zs = 2 * bands * t * 4                  # complex f32 band results
+    tables = (4 * n1 * n1 + 4 * n2 * n2 + 2 * n1 * n2) * 4 * 1.5
+    temps = 8 * t * 4                       # per-band matmul temporaries
+    return (blocks + gates + kf + w0 + xs + zs + tables + temps) / 2**20
+
+
+def _compiler_params():
+    """Per-kernel Mosaic params: raise the scoped-VMEM cap to the configured
+    budget (plan.VMEM_BUDGET_MB; Mosaic's default is ~16 MB while v5e-class
+    chips physically carry far more — benchmarks/tpu_vmem_probe.py)."""
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=max(plan_mod.VMEM_BUDGET_MB, 16) * 2**20
+    )
+
 
 def supported(plan: FftPlan) -> bool:
     """Fused-kernel support: 2-factor plans (<=32K) run as a single fused
-    kernel; 3-factor plans (64K-4M) run the three-stage pipeline — outer
-    butterfly in XLA, inner complex conv in the same fused kernel (the analog
-    of the reference's butterfly -> monarch_conv_*_complex -> butterfly_ifft
-    chain, conv.py:692-1733)."""
+    kernel; 3-factor plans run the fused long kernel when the whole
+    (f0, N1, N2) signal and its band spectra fit the VMEM budget; 4-factor
+    plans run the three-stage pipeline — Pallas outer butterfly, fused
+    complex inner conv, inverse butterfly (the analog of the reference's
+    butterfly -> monarch_conv_*_complex -> butterfly_ifft chain,
+    conv.py:692-1733)."""
     if len(plan.factors) == 1:
         # Direct-DFT fused kernel (explicit 1-factor plans; default plans are
         # 2-factor from 256 up). Measured faster than the XLA batched matmul
@@ -63,8 +101,11 @@ def supported(plan: FftPlan) -> bool:
         return 256 <= plan.seqlen <= MAX_FUSED_SEQLEN
     if len(plan.factors) == 3:
         f0, n1, n2 = plan.factors
-        # The whole (f0, N1, N2) signal must fit VMEM (fused long kernel).
-        return n1 * n2 <= MAX_FUSED_SEQLEN and f0 * n1 * n2 <= 8 * MAX_FUSED_SEQLEN
+        # Round-3 shapes (inner <= 32K, N <= 256K) fit Mosaic's default cap;
+        # larger fused shapes are gated on the configured VMEM budget.
+        if n1 * n2 <= MAX_FUSED_SEQLEN and f0 * n1 * n2 <= 8 * MAX_FUSED_SEQLEN:
+            return True
+        return _fused3_vmem_mb(plan) <= plan_mod.VMEM_BUDGET_MB
     if len(plan.factors) == 4:
         f00, f0, n1, n2 = plan.factors
         return n1 * n2 <= MAX_FUSED_SEQLEN and f0 * n1 * n2 <= 8 * MAX_FUSED_SEQLEN
@@ -540,7 +581,18 @@ def _fwd_dft_tiles(
         f1s_m = f1r_m + f1i_m  # Karatsuba sum tables
         f2s_m = f2r_m + f2i_m
 
-        if complex_in:
+        mxu_outer = f0 >= _MXU_OUTER_MIN_F0
+        xs = spec = None
+        if mxu_outer:
+            t = n1 * n2
+            fr = xr_ref[0].astype(jnp.float32).reshape(f0, t)
+            fi = (
+                xi_ref[0].astype(jnp.float32).reshape(f0, t)
+                if complex_in else None
+            )
+            sr, si = _mxu_outer_fwd(mm, c0r[...], c0i[...], fr, fi)
+            spec = (sr.reshape(bands, n1, n2), si.reshape(bands, n1, n2))
+        elif complex_in:
             xs = [
                 (xr_ref[0, cc].astype(jnp.float32), xi_ref[0, cc].astype(jnp.float32))
                 for cc in range(f0)
@@ -549,15 +601,18 @@ def _fwd_dft_tiles(
             xs = [(xr_ref[0, cc].astype(jnp.float32), None) for cc in range(f0)]
 
         for k0 in range(bands):
-            acc_re = acc_im = None
-            for cc in range(f0):
-                cr = c0r[k0, cc]
-                ci = c0i[k0, cc]
-                xr, xi = xs[cc]
-                tr = xr * cr if xi is None else xr * cr - xi * ci
-                ti = xr * ci if xi is None else xr * ci + xi * cr
-                acc_re = tr if acc_re is None else acc_re + tr
-                acc_im = ti if acc_im is None else acc_im + ti
+            if mxu_outer:
+                acc_re, acc_im = spec[0][k0], spec[1][k0]
+            else:
+                acc_re = acc_im = None
+                for cc in range(f0):
+                    cr = c0r[k0, cc]
+                    ci = c0i[k0, cc]
+                    xr, xi = xs[cc]
+                    tr = xr * cr if xi is None else xr * cr - xi * ci
+                    ti = xr * ci if xi is None else xr * ci + xi * cr
+                    acc_re = tr if acc_re is None else acc_re + tr
+                    acc_im = ti if acc_im is None else acc_im + ti
             xre, xim = cmul(acc_re, acc_im, w0r[0, k0], w0i[0, k0])
             t1, t2 = mm(f1r_m, xre), mm(f1i_m, xim)
             t3 = mm(f1s_m, xre + xim)
@@ -574,6 +629,7 @@ def _fwd_dft_tiles(
         out_specs=[btile, btile],
         out_shape=[jax.ShapeDtypeStruct((c, bands, n1, n2), out_dtype)] * 2,
         interpret=_interpret(),
+        compiler_params=None if _interpret() else _compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=c * bands * (8 * f0 * n1 * n2 + 8 * n1 * n1 * n2 + 8 * n1 * n2 * n2),
             bytes_accessed=c * (f0 + bands) * n1 * n2 * 4,
@@ -656,6 +712,16 @@ def _inv_dft_tiles(
 
         # (with half-band weighted ic0 the real-part sum over `bands`
         # reconstructs all f0 chunks of the real output)
+        if f0 >= _MXU_OUTER_MIN_F0:
+            t = n1 * n2
+            zr = jnp.stack([z[0] for z in zs]).reshape(bands, t)
+            zi = jnp.stack([z[1] for z in zs]).reshape(bands, t)
+            o_re, o_im = _mxu_outer_inv(mm, ic0r[...], ic0i[...], zr, zi,
+                                        want_imag=not real_out)
+            or_ref[0] = o_re.reshape(f0, n1, n2).astype(or_ref.dtype)
+            if not real_out:
+                oi_ref[0] = o_im.reshape(f0, n1, n2).astype(oi_ref.dtype)
+            return
         for cc in range(f0):
             acc_re = acc_im = None
             for k0 in range(bands):
@@ -683,6 +749,7 @@ def _inv_dft_tiles(
         out_specs=out_specs if not real_out else out_specs[0],
         out_shape=out_shape if not real_out else out_shape[0],
         interpret=_interpret(),
+        compiler_params=None if _interpret() else _compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=c * bands * (8 * f0 * n1 * n2 + 6 * n1 * n1 * n2 + 6 * n1 * n2 * n2),
             bytes_accessed=c * n1 * n2 * (8 * bands + f0 * (4 if real_out else 8)),
@@ -1316,6 +1383,28 @@ def _bwd_tiles(
     return du4, y4, dkr, dki
 
 
+def _mxu_outer_fwd(mm, c0r, c0i, xr, xi):
+    """Outer f0-point DFT as low-K matmuls: (bands, f0) @ (f0, n1*n2) per
+    real/imag plane. At f0 >= _MXU_OUTER_MIN_F0 the unrolled per-band VPU
+    MAC formulation costs bands*f0 full-tile VPU passes and dominates the
+    fused long kernel; the MXU sweep replaces it with 2 (real input) or 4
+    (complex) matmuls whose low-K inefficiency is still far cheaper."""
+    if xi is None:
+        return mm(c0r, xr), mm(c0i, xr)
+    return mm(c0r, xr) - mm(c0i, xi), mm(c0r, xi) + mm(c0i, xr)
+
+
+def _mxu_outer_inv(mm, ic0r, ic0i, zr, zi, want_imag):
+    """Inverse outer DFT as matmuls: (f0, bands) @ (bands, n1*n2). With
+    half-band weighted tables the real-part output reconstructs all f0
+    chunks of a real signal; want_imag adds the imaginary plane (packed
+    pairs / complex I/O)."""
+    o_re = mm(ic0r, zr) - mm(ic0i, zi)
+    if not want_imag:
+        return o_re, None
+    return o_re, mm(ic0r, zi) + mm(ic0i, zr)
+
+
 def _long_kernel(
     refs,
     *,
@@ -1372,6 +1461,10 @@ def _long_kernel(
         t1, t2, t3 = mm(xr, mr), mm(xi, mi), mm(xr + xi, ms)
         return t1 - t2, t3 - t1 - t2
 
+    n1, n2 = u_ref.shape[3], u_ref.shape[4]
+    t = n1 * n2
+    mxu_outer = f0 >= _MXU_OUTER_MIN_F0
+
     # ---- load input chunks as f32 (n1, n2) tiles (fused in-gate) ----------
     def in_chunk(row, c):
         v = u_ref[row, 0, c].astype(jnp.float32)
@@ -1379,15 +1472,24 @@ def _long_kernel(
             v = v * pre_ref[row, 0, c].astype(jnp.float32)
         return v
 
-    if packed:
-        xs = [(in_chunk(0, c), in_chunk(1, c)) for c in range(f0)]
-    elif complex_io:
-        xs = [
-            (u_ref[0, 0, c].astype(jnp.float32), uim_ref[0, 0, c].astype(jnp.float32))
-            for c in range(f0)
-        ]
-    else:
-        xs = [(in_chunk(0, c), None) for c in range(f0)]
+    def in_flat(row):
+        """All f0 chunks of one row as an (f0, n1*n2) f32 matrix (in-gated)."""
+        v = u_ref[row, 0].astype(jnp.float32)
+        if pre_ref is not None:
+            v = v * pre_ref[row, 0].astype(jnp.float32)
+        return v.reshape(f0, t)
+
+    xs = None
+    if not mxu_outer:
+        if packed:
+            xs = [(in_chunk(0, c), in_chunk(1, c)) for c in range(f0)]
+        elif complex_io:
+            xs = [
+                (u_ref[0, 0, c].astype(jnp.float32), uim_ref[0, 0, c].astype(jnp.float32))
+                for c in range(f0)
+            ]
+        else:
+            xs = [(in_chunk(0, c), None) for c in range(f0)]
 
     # ---- outer DFT along chunks (unrolled, VPU) + outer twiddle -----------
     f1r_m, f1i_m = f1r[...], f1i[...]
@@ -1403,17 +1505,32 @@ def _long_kernel(
     # Bands to process: rows of the outer DFT table — f0, or f0//2+1 when
     # the caller passes half-band tables (real input, rfft symmetry).
     bands = c0_ref.shape[0]
+    spec_re = spec_im = None
+    if mxu_outer:
+        if packed:
+            fr, fi = in_flat(0), in_flat(1)
+        elif complex_io:
+            fr = u_ref[0, 0].astype(jnp.float32).reshape(f0, t)
+            fi = uim_ref[0, 0].astype(jnp.float32).reshape(f0, t)
+        else:
+            fr, fi = in_flat(0), None
+        sr, si = _mxu_outer_fwd(mm, c0_ref[...], s0_ref[...], fr, fi)
+        spec_re = sr.reshape(bands, n1, n2)
+        spec_im = si.reshape(bands, n1, n2)
     zs = []
     for k0 in range(bands):
-        acc_re = acc_im = None
-        for c in range(f0):
-            cr = c0_ref[k0, c]
-            ci = s0_ref[k0, c]
-            xr, xi = xs[c]
-            tr = xr * cr if xi is None else xr * cr - xi * ci
-            ti = xr * ci if xi is None else xr * ci + xi * cr
-            acc_re = tr if acc_re is None else acc_re + tr
-            acc_im = ti if acc_im is None else acc_im + ti
+        if mxu_outer:
+            acc_re, acc_im = spec_re[k0], spec_im[k0]
+        else:
+            acc_re = acc_im = None
+            for c in range(f0):
+                cr = c0_ref[k0, c]
+                ci = s0_ref[k0, c]
+                xr, xi = xs[c]
+                tr = xr * cr if xi is None else xr * cr - xi * ci
+                ti = xr * ci if xi is None else xr * ci + xi * cr
+                acc_re = tr if acc_re is None else acc_re + tr
+                acc_im = ti if acc_im is None else acc_im + ti
         # outer twiddle, then the fused inner complex conv for this chunk
         xre, xim = cmul(acc_re, acc_im, w0r_ref[0, k0], w0i_ref[0, k0])
 
@@ -1433,6 +1550,29 @@ def _long_kernel(
 
     # ---- inverse outer DFT (carries 1/N via ic0/is0; with half-band
     # tables the weighted real-part sum reconstructs all f0 chunks) --------
+    if mxu_outer:
+        zr = jnp.stack([z[0] for z in zs]).reshape(bands, t)
+        zi = jnp.stack([z[1] for z in zs]).reshape(bands, t)
+        o_re, o_im = _mxu_outer_inv(
+            mm, ic0_ref[...], is0_ref[...], zr, zi,
+            want_imag=packed or complex_io,
+        )
+        o_re = o_re.reshape(f0, n1, n2)
+        o_im = None if o_im is None else o_im.reshape(f0, n1, n2)
+        if packed:
+            if post_ref is not None:  # fused out-gate
+                o_re = o_re * post_ref[0, 0].astype(jnp.float32)
+                o_im = o_im * post_ref[1, 0].astype(jnp.float32)
+            o_ref[0, 0] = o_re.astype(o_ref.dtype)
+            o_ref[1, 0] = o_im.astype(o_ref.dtype)
+        elif complex_io:
+            o_ref[0, 0] = o_re.astype(o_ref.dtype)
+            oim_ref[0, 0] = o_im.astype(oim_ref.dtype)
+        else:
+            if post_ref is not None:
+                o_re = o_re * post_ref[0, 0].astype(jnp.float32)
+            o_ref[0, 0] = o_re.astype(o_ref.dtype)
+        return
     for c in range(f0):
         acc_re = acc_im = None
         for k0 in range(bands):
@@ -1535,6 +1675,7 @@ def _long_tiles(
         out_specs=out_specs if complex_io else out_specs[0],
         out_shape=out_shape if complex_io else out_shape[0],
         interpret=_interpret(),
+        compiler_params=None if _interpret() else _compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=(inner_flops * f0 + 8 * f0 * f0 * n1 * n2) * b * h,
             bytes_accessed=(b * h * f0 * n1 * n2) * 16,
@@ -1762,6 +1903,7 @@ def _butterfly_tiles(
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
         out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
         interpret=_interpret(),
+        compiler_params=None if _interpret() else _compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=8 * bc * h * fi * fo * rt * 128,
             bytes_accessed=bc * h * (fi + fo) * rt * 128 * 6,
@@ -2035,7 +2177,8 @@ def _gated_fwd(plan_key, u, k, pregate, postgate):
     )
 
 
-def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False):
+def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False,
+                     gated=False):
     """Fully-fused 3-factor backward for one (b, h): in ONE HBM round trip,
     recompute Ug = DFT(ug) and G = DFT(g) (outer half-band DFT + twiddle +
     2-way inner Monarch chain, as in _long_kernel), then emit
@@ -2054,10 +2197,20 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False):
     separate-transform backward pays for (measured fwd_bwd/fwd 4.7-6.0 at
     64K-256K with the separate-transform scheme, results_v5e_r3.csv)."""
     i = 0
+    u_ref = pre_ref = dout_ref = post_ref = None
+    ugi_ref = gi_ref = None
     if complex_io:
         ugr_ref, ugi_ref, gr_ref, gi_ref = refs[:4]; i = 4
+    elif gated:
+        # Gate-fused variant: raw u/pre/dout/post rows in, du/dpre/dpost
+        # rows out — ug = u*pre and g = dout*post form at load, and all
+        # three gate products form at store, eliminating the 4 XLA
+        # elementwise passes (make-ug, make-g, apply-pre, apply-post) the
+        # unfused backward pays around the kernel.
+        u_ref, pre_ref, dout_ref, post_ref = refs[:4]; i = 4
+        ugr_ref = gr_ref = None
     else:
-        ugr_ref, gr_ref = refs[:2]; ugi_ref = gi_ref = None; i = 2
+        ugr_ref, gr_ref = refs[:2]; i = 2
     kfr_ref, kfi_ref = refs[i], refs[i + 1]; i += 2
     c0_ref, s0_ref, w0r_ref, w0i_ref, ic0_ref, is0_ref = refs[i:i + 6]; i += 6
     (f1r, f1i, w1r, w1i, f2r, f2i, if2r, if2i, if1r, if1i) = refs[i:i + 10]
@@ -2066,8 +2219,12 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False):
     dui_ref = None
     if complex_io:
         dui_ref = refs[i]; i += 1
+    dpre_ref = dpost_ref = None
+    if gated:
+        dpre_ref = refs[i]; i += 1
+        dpost_ref = refs[i]; i += 1
     y_ref = yi_ref = None
-    if need_y:
+    if need_y and not gated:
         y_ref = refs[i]; i += 1
         if complex_io:
             yi_ref = refs[i]; i += 1
@@ -2100,14 +2257,50 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False):
     if2s_m = if2r_m + if2i_m
     if1s_m = if1r_m + if1i_m
 
+    sig_ref = u_ref if gated else ugr_ref
+    n1, n2 = sig_ref.shape[3], sig_ref.shape[4]
+    t = n1 * n2
+    mxu_outer = f0 >= _MXU_OUTER_MIN_F0
+
     def load_pair(re_ref, im_ref, c):
         re = re_ref[0, 0, c].astype(jnp.float32)
         im = None if im_ref is None else im_ref[0, 0, c].astype(jnp.float32)
         return re, im
 
-    us = [load_pair(ugr_ref, ugi_ref, c) for c in range(f0)]
-    gs = [load_pair(gr_ref, gi_ref, c) for c in range(f0)]
+    def load_prod(a_ref, b_ref, c):
+        """(a * b)[chunk c] in f32 — the in-kernel ug / g gate products."""
+        return (
+            a_ref[0, 0, c].astype(jnp.float32)
+            * b_ref[0, 0, c].astype(jnp.float32),
+            None,
+        )
+
+    us = gs = None
+    uspec = gspec = None
     bands = c0_ref.shape[0]
+    if mxu_outer:
+        def flat(ref):
+            return None if ref is None else ref[0, 0].astype(jnp.float32).reshape(f0, t)
+
+        def flat_prod(a_ref, b_ref):
+            v = a_ref[0, 0].astype(jnp.float32) * b_ref[0, 0].astype(jnp.float32)
+            return v.reshape(f0, t)
+
+        c0m, s0m = c0_ref[...], s0_ref[...]
+        if gated:
+            ur_, ui_ = _mxu_outer_fwd(mm, c0m, s0m, flat_prod(u_ref, pre_ref), None)
+            gr_, gi_ = _mxu_outer_fwd(mm, c0m, s0m, flat_prod(dout_ref, post_ref), None)
+        else:
+            ur_, ui_ = _mxu_outer_fwd(mm, c0m, s0m, flat(ugr_ref), flat(ugi_ref))
+            gr_, gi_ = _mxu_outer_fwd(mm, c0m, s0m, flat(gr_ref), flat(gi_ref))
+        uspec = (ur_.reshape(bands, n1, n2), ui_.reshape(bands, n1, n2))
+        gspec = (gr_.reshape(bands, n1, n2), gi_.reshape(bands, n1, n2))
+    elif gated:
+        us = [load_prod(u_ref, pre_ref, c) for c in range(f0)]
+        gs = [load_prod(dout_ref, post_ref, c) for c in range(f0)]
+    else:
+        us = [load_pair(ugr_ref, ugi_ref, c) for c in range(f0)]
+        gs = [load_pair(gr_ref, gi_ref, c) for c in range(f0)]
     j = pl.program_id(1)
 
     def fwd_inner(xre, xim):
@@ -2123,22 +2316,26 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False):
 
     zs_du, zs_y = [], []
     for k0 in range(bands):
-        u_ar = u_ai = g_ar = g_ai = None
-        for c in range(f0):
-            cr = c0_ref[k0, c]
-            ci = s0_ref[k0, c]
-            ur_c, ui_c = us[c]
-            gr_c, gi_c = gs[c]
-            if ui_c is None:
-                tu_r, tu_i = ur_c * cr, ur_c * ci
-                tg_r, tg_i = gr_c * cr, gr_c * ci
-            else:
-                tu_r, tu_i = ur_c * cr - ui_c * ci, ur_c * ci + ui_c * cr
-                tg_r, tg_i = gr_c * cr - gi_c * ci, gr_c * ci + gi_c * cr
-            u_ar = tu_r if u_ar is None else u_ar + tu_r
-            u_ai = tu_i if u_ai is None else u_ai + tu_i
-            g_ar = tg_r if g_ar is None else g_ar + tg_r
-            g_ai = tg_i if g_ai is None else g_ai + tg_i
+        if mxu_outer:
+            u_ar, u_ai = uspec[0][k0], uspec[1][k0]
+            g_ar, g_ai = gspec[0][k0], gspec[1][k0]
+        else:
+            u_ar = u_ai = g_ar = g_ai = None
+            for c in range(f0):
+                cr = c0_ref[k0, c]
+                ci = s0_ref[k0, c]
+                ur_c, ui_c = us[c]
+                gr_c, gi_c = gs[c]
+                if ui_c is None:
+                    tu_r, tu_i = ur_c * cr, ur_c * ci
+                    tg_r, tg_i = gr_c * cr, gr_c * ci
+                else:
+                    tu_r, tu_i = ur_c * cr - ui_c * ci, ur_c * ci + ui_c * cr
+                    tg_r, tg_i = gr_c * cr - gi_c * ci, gr_c * ci + gi_c * cr
+                u_ar = tu_r if u_ar is None else u_ar + tu_r
+                u_ai = tu_i if u_ai is None else u_ai + tu_i
+                g_ar = tg_r if g_ar is None else g_ar + tg_r
+                g_ai = tg_i if g_ai is None else g_ai + tg_i
         ur_, ui_ = cmul(u_ar, u_ai, w0r_ref[0, k0], w0i_ref[0, k0])
         gr_, gi_ = cmul(g_ar, g_ai, w0r_ref[0, k0], w0i_ref[0, k0])
         ufr, ufi = fwd_inner(ur_, ui_)
@@ -2165,6 +2362,37 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False):
 
     # inverse outer DFT: real-input case uses half-band weighted ic0/is0
     # (real output); complex_io uses full tables and emits complex rows.
+    if mxu_outer:
+        ic0m, is0m = ic0_ref[...], is0_ref[...]
+
+        def inv_block(z_pairs):
+            zr = jnp.stack([z[0] for z in z_pairs]).reshape(bands, t)
+            zi = jnp.stack([z[1] for z in z_pairs]).reshape(bands, t)
+            o_re, o_im = _mxu_outer_inv(mm, ic0m, is0m, zr, zi,
+                                        want_imag=complex_io)
+            o_re = o_re.reshape(f0, n1, n2)
+            return o_re, None if o_im is None else o_im.reshape(f0, n1, n2)
+
+        if gated:
+            # fused gate products at store: du = du_inner*pre,
+            # dpre = du_inner*u, dpost = y_inner*dout
+            du_inner, _ = inv_block(zs_du)
+            y_inner, _ = inv_block(zs_y)
+            du_ref[0, 0] = (du_inner * pre_ref[0, 0].astype(jnp.float32)).astype(du_ref.dtype)
+            dpre_ref[0, 0] = (du_inner * u_ref[0, 0].astype(jnp.float32)).astype(dpre_ref.dtype)
+            dpost_ref[0, 0] = (y_inner * dout_ref[0, 0].astype(jnp.float32)).astype(dpost_ref.dtype)
+            return
+
+        def inv_store(z_pairs, re_ref_, im_ref_):
+            o_re, o_im = inv_block(z_pairs)
+            re_ref_[0, 0] = o_re.astype(re_ref_.dtype)
+            if complex_io:
+                im_ref_[0, 0] = o_im.astype(im_ref_.dtype)
+
+        inv_store(zs_du, du_ref, dui_ref)
+        if need_y:
+            inv_store(zs_y, y_ref, yi_ref)
+        return
     for c in range(f0):
         acc_d = acc_di = acc_y = acc_yi = None
         for k0 in range(bands):
@@ -2183,6 +2411,11 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False):
                 if complex_io:
                     tyi = zr * ci + zi * cr
                     acc_yi = tyi if acc_yi is None else acc_yi + tyi
+        if gated:
+            du_ref[0, 0, c] = (acc_d * pre_ref[0, 0, c].astype(jnp.float32)).astype(du_ref.dtype)
+            dpre_ref[0, 0, c] = (acc_d * u_ref[0, 0, c].astype(jnp.float32)).astype(dpre_ref.dtype)
+            dpost_ref[0, 0, c] = (acc_y * dout_ref[0, 0, c].astype(jnp.float32)).astype(dpost_ref.dtype)
+            continue
         du_ref[0, 0, c] = acc_d.astype(du_ref.dtype)
         if complex_io:
             dui_ref[0, 0, c] = acc_di.astype(dui_ref.dtype)
@@ -2193,12 +2426,13 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("factors", "compute_dtype", "io_dtype", "need_y")
+    jax.jit,
+    static_argnames=("factors", "compute_dtype", "io_dtype", "need_y", "gated"),
 )
 def _long_bwd_tiles(
     ug5, g5, kf_re, kf_im, outer_tables, inner_tables,
     factors, compute_dtype, io_dtype, need_y,
-    ug5_im=None, g5_im=None,
+    ug5_im=None, g5_im=None, gated=False, pre5=None, post5=None,
 ):
     """Run the fused long backward over (B, H, f0, N1, N2) tiles with
     half-band outer tables (_outer_tables_half). Returns
@@ -2208,7 +2442,12 @@ def _long_bwd_tiles(
     Passing ug5_im/g5_im switches to complex I/O (the 4-factor inner stage:
     rows are the outer butterfly's complex output, outer_tables must be the
     full-band _outer_tables): returns (du5, du5_im, y5, y5_im | Nones,
-    dkf_re, dkf_im)."""
+    dkf_re, dkf_im).
+
+    gated=True is the gate-fused variant: ug5/g5 are the RAW u and dout
+    rows, pre5/post5 the gates; ug = u*pre and g = dout*post form in-kernel
+    at load, and the gate products form at store, so the call returns
+    (du5, dpre5, dpost5, dkf_re, dkf_im) directly — no XLA gate passes."""
     f0, n1, n2 = factors
     complex_io = ug5_im is not None
     b, h = ug5.shape[:2]
@@ -2226,14 +2465,22 @@ def _long_bwd_tiles(
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     c0, s0, w0r, w0i, ic0, is0 = outer_tables
-    sig = [ug5, ug5_im, g5, g5_im] if complex_io else [ug5, g5]
+    if complex_io:
+        sig = [ug5, ug5_im, g5, g5_im]
+    elif gated:
+        sig = [ug5, pre5, g5, post5]  # raw u, pre, dout, post rows
+    else:
+        sig = [ug5, g5]
     in_specs = [tile] * len(sig) + [kf_spec, kf_spec,
                 small, small, w0_spec, w0_spec, small, small] + [small] * 10
     inputs = sig + [kf_re, kf_im, c0, s0, w0r[None], w0i[None], ic0, is0,
                     *inner_tables]
 
     row = jax.ShapeDtypeStruct((b, h, f0, n1, n2), io_dtype)
-    n_rows = (2 if complex_io else 1) * (2 if need_y else 1)
+    if gated:
+        n_rows = 3  # du, dpre, dpost
+    else:
+        n_rows = (2 if complex_io else 1) * (2 if need_y else 1)
     out_shape = [row] * n_rows
     out_specs = [tile] * n_rows
     out_shape += [jax.ShapeDtypeStruct((h, bands, n1, n2), jnp.float32)] * 2
@@ -2243,8 +2490,9 @@ def _long_bwd_tiles(
         lambda *refs, **kw: _long_bwd_kernel(refs, **kw),
         f0=f0,
         compute_dtype=jnp.dtype(compute_dtype),
-        need_y=need_y,
+        need_y=need_y or gated,
         complex_io=complex_io,
+        gated=gated,
     )
     inner_flops = 2 * (4 * n1 * n1 * n2 + 4 * n1 * n2 * n2 + 2 * n1 * n1 * n2)
     outs = pl.pallas_call(
@@ -2254,6 +2502,7 @@ def _long_bwd_tiles(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=_interpret(),
+        compiler_params=None if _interpret() else _compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * (inner_flops * f0 + 8 * f0 * f0 * n1 * n2) * b * h,
             bytes_accessed=(b * h * f0 * n1 * n2) * (8 if need_y else 6)
@@ -2261,6 +2510,9 @@ def _long_bwd_tiles(
             transcendentals=0,
         ),
     )(*inputs)
+    if gated:
+        du5, dpre5, dpost5, dkr, dki = outs
+        return du5, dpre5, dpost5, dkr, dki
     if complex_io:
         if need_y:
             du5, du5i, y5, y5i, dkr, dki = outs
@@ -2327,13 +2579,33 @@ def _long_bwd_fused(plan, u, k, pregate, postgate, dout, ug, g):
             v = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, n - length)])
         return v.reshape(v.shape[0], v.shape[1], f0, n1, n2)
 
+    b, h = u.shape[:2]
+    if pregate is not None:
+        # Gate-fused variant: raw u/pre/dout/post in, du/dpre/dpost out —
+        # no XLA passes to form ug/g or to apply the gate products.
+        du5, dpre5, dpost5, dkr, dki = _long_bwd_tiles(
+            shape_in(u), shape_in(dout), kfc_re, kfc_im,
+            _outer_tables_half(plan), _tables(plan, base=1),
+            factors=plan.factors, compute_dtype=plan.compute_dtype_name,
+            io_dtype=io, need_y=True, gated=True,
+            pre5=shape_in(pregate), post5=shape_in(postgate),
+        )
+
+        def shape_out(v5, dtype):
+            return v5.reshape(b, h, n)[..., :length].astype(dtype)
+
+        dk = _finish_dk(plan, dkr, dki, k, half=True)
+        return (
+            shape_out(du5, u.dtype), dk,
+            shape_out(dpre5, pregate.dtype), shape_out(dpost5, postgate.dtype),
+        )
+
     du5, y5, dkr, dki = _long_bwd_tiles(
         shape_in(ug), shape_in(g), kfc_re, kfc_im,
         _outer_tables_half(plan), _tables(plan, base=1),
         factors=plan.factors, compute_dtype=plan.compute_dtype_name,
         io_dtype=io, need_y=postgate is not None,
     )
-    b, h = u.shape[:2]
     du_inner = du5.reshape(b, h, n)[..., :length].astype(jnp.float32)
     y_inner = (
         None if y5 is None

@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any
 
 import jax
@@ -44,6 +45,29 @@ _MAX_FACTOR = 256
 # than this use an outer butterfly stage (three-pass pipeline), like the
 # reference's >=64K path (/root/reference/flashfftconv/conv.py:203-549).
 MAX_INNER = 32768
+
+# Per-kernel VMEM budget (MB) used for factor selection and as the Pallas
+# vmem_limit_bytes cap. Mosaic's DEFAULT scoped-VMEM cap is ~16 MB, but the
+# physical VMEM on v5e-class chips is larger and
+# pltpu.CompilerParams(vmem_limit_bytes=...) raises the compiler's cap
+# (hardware probe: benchmarks/tpu_vmem_probe.py). The conservative 16
+# default keeps every plan identical to the round-3 hardware-verified
+# shapes; override with FLASHFFTCONV_VMEM_MB once a larger budget is
+# confirmed on the target chip.
+VMEM_BUDGET_MB = int(os.environ.get("FLASHFFTCONV_VMEM_MB", "16"))
+
+# Preferred 3-factor shapes for 512K-4M: ONE fused kernel pass (a single HBM
+# round trip, MXU-dominant) instead of the 4-level butterfly pipeline's
+# three passes — but their VMEM footprints only fit when the scoped-VMEM
+# budget has been raised past Mosaic's default (min_mb below, estimated by
+# monarch_pallas._fused3_vmem_mb and validated by the on-chip factor sweep,
+# benchmarks/tpu_factor_sweep.py).
+_LONG3_CANDIDATES: dict[int, tuple[tuple[int, tuple[int, ...]], ...]] = {
+    524288: ((28, (4, 512, 256)),),
+    1048576: ((48, (8, 512, 256)),),
+    2097152: ((80, (8, 512, 512)),),
+    4194304: ((112, (16, 512, 512)),),
+}
 
 
 def is_supported_seqlen(seqlen: int) -> bool:
@@ -89,9 +113,14 @@ def default_factors(seqlen: int) -> tuple[int, ...]:
     if seqlen <= 8 * MAX_INNER:  # 64K-256K: fused long kernel holds (f0, N1, N2)
         outer = seqlen // MAX_INNER
         return (outer,) + default_factors(MAX_INNER)
-    # 512K-4M: 4-level — an XLA outer butterfly over f00, then the fused
-    # long kernel over a 128K inner block (f0=4 keeps the complex-I/O
-    # kernel inside the 16 MB VMEM budget).
+    # 512K-4M: prefer a single fused 3-factor kernel with larger inner tiles
+    # when the VMEM budget allows (one HBM round trip); otherwise fall back
+    # to the 4-level pipeline — a Pallas outer butterfly over f00, the fused
+    # long kernel over a 128K inner block, and an inverse butterfly (f0=4
+    # keeps the complex-I/O inner kernel inside Mosaic's 16 MB default).
+    for min_mb, factors in _LONG3_CANDIDATES.get(seqlen, ()):
+        if VMEM_BUDGET_MB >= min_mb:
+            return factors
     f00 = seqlen // (4 * MAX_INNER)
     return (f00, 4) + default_factors(MAX_INNER)
 

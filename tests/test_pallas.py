@@ -108,8 +108,10 @@ def test_fused_io_path(rng, gated, padded):
 
 @pytest.mark.parametrize("seqlen", [524288])
 def test_pallas_4level_path(rng, seqlen):
-    """The 4-level (Pallas butterfly + fused long inner) pipeline, fwd+bwd."""
-    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    """The 4-level (Pallas butterfly + fused long inner) pipeline, fwd+bwd.
+    Factors pinned to the 4-level shape: the default plan at this size is
+    the fused 3-factor kernel whenever the VMEM budget allows."""
+    plan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(4, 4, 256, 128))
     assert len(plan.factors) == 4 and mp.supported(plan)
     length = seqlen // 2
     u, k = _data(rng, 2, 2, length)
@@ -193,6 +195,60 @@ def test_half_band_path(rng, seqlen, b, gated):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
 
 
+@pytest.mark.parametrize("gated", [False, True])
+def test_long_mxu_outer_path(rng, gated):
+    """The MXU-outer-DFT formulation inside the fused long kernel and its
+    backward (taken when f0 >= 8): a small (8, 64, 128) plan keeps interpret
+    mode fast while exercising the matmul outer stage, half-band tables,
+    kf spectrum (_fwd_dft_tiles) and dk finish (_inv_dft_tiles) at f0=8."""
+    seqlen = 65536
+    plan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(8, 64, 128))
+    assert mp.supported(plan)
+    length = seqlen // 2
+    data = _data(rng, 2, 2, length, gated=gated)
+    u, k = data[:2]
+    pre, post = (data[2], data[3]) if gated else (None, None)
+    y = mp.fft_conv_pallas(plan, *data)
+    y_ref = fft_conv_reference(seqlen, *data)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    dout = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32) * 0.02)
+    g = dout if post is None else dout * post
+    ug = u if pre is None else u * pre
+    du, dk, dpre, dpost = mp._long_bwd_fused(plan, u, k, pre, post, dout, ug, g)
+    argnums = tuple(range(len(data)))
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=argnums
+    )(*data)
+    got = [du, dk] + ([dpre, dpost] if gated else [])
+    for n, a, b in zip(["u", "k", "pre", "post"][: len(data)], got, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{n}"
+        )
+
+
+@pytest.mark.slow
+def test_long_bign1_512k(rng):
+    """The fused 3-factor kernel at a 512K (4, 512, 256) plan — the shape the
+    default plan takes when the VMEM budget allows (plan._LONG3_CANDIDATES) —
+    fwd + fused bwd against the jnp.fft oracle."""
+    seqlen = 524288
+    plan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(4, 512, 256))
+    length = seqlen // 2
+    u, k = _data(rng, 1, 2, length)
+    y = mp.fft_conv_pallas(plan, u, k)
+    y_ref = fft_conv_reference(seqlen, u, k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    dout = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32) * 0.02)
+    du, dk, _, _ = mp._long_bwd_fused(plan, u, k, None, None, dout, u, dout)
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=(0, 1)
+    )(u, k)
+    np.testing.assert_allclose(np.asarray(du), np.asarray(g_ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(g_ref[1]), atol=1e-4)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("gated", [False, True])
 @pytest.mark.parametrize("padded", [False, True])
@@ -233,7 +289,7 @@ def test_long4_bwd_fused(rng, gated, padded):
     AD oracle. On CPU the default dispatch keeps the separate-transform
     path, so this calls the fused implementation directly (interpret)."""
     seqlen = 524288
-    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    plan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(4, 4, 256, 128))
     assert len(plan.factors) == 4
     length = seqlen // 2 if padded else seqlen
     data = _data(rng, 2, 2, length, gated=gated)
