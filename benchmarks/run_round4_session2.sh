@@ -17,9 +17,14 @@ run() {  # run <name> <timeout_s> <cmd...>
 # 1. Per-kernel VMEM budget probe (scratch sizes 16-127 MB + bandwidth check).
 run vmem_probe 1800 python -u benchmarks/tpu_vmem_probe.py
 
-# 2. Factorization autotune 64K-4M: fused 3-factor candidates vs the
+# 2. Hardware grad parity for the NEW gate-fused backwards: 2-factor
+#    (2K/32K) and 3-factor (64K-256K) default gated backward changed.
+run parity_gatefused 5400 env TPU_PARITY_FORCE=1 \
+  TPU_PARITY_SIZES=2048,32768,65536,131072,262144 python -u benchmarks/tpu_parity.py
+
+# 3. Factorization autotune 64K-4M: fused 3-factor candidates vs the
 #    round-3 shapes, fwd + fwd+bwd, oracle-checked.
-run factor_sweep 7200 python -u benchmarks/tpu_factor_sweep.py
+run factor_sweep 10800 python -u benchmarks/tpu_factor_sweep.py
 
 # 3. LRA ListOps quality run (S4-class ~59.6%, Transformer 36.4%, random 10%).
 run listops 7200 python -u examples/lra/train_listops.py --epochs 20 \
