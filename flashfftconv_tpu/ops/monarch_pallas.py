@@ -1179,16 +1179,25 @@ def _bwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan_factors", "seqlen", "compute_dtype", "need_y", "ht"),
+    static_argnames=(
+        "plan_factors", "seqlen", "compute_dtype", "need_y", "ht", "gated"
+    ),
 )
 def _bwd_fused_io_tiles(
-    u, g_, kf_re, kf_im, tables, plan_factors, seqlen, compute_dtype, need_y, ht
+    u, g_, kf_re, kf_im, tables, plan_factors, seqlen, compute_dtype, need_y, ht,
+    gated=False, pre=None, post=None,
 ):
     """Fully-fused 2-factor backward with direct (B, H, L) I/O: per channel
     group, recompute U = DFT(u), G = DFT(g), emit du = IDFT(G * conj(K)) and
     (optionally) y = IDFT(U * K), and accumulate dk_f += G * conj(U) across
     the batch grid axis. Relayout/padding/truncation happen in-kernel.
-    Channel-grouped matmuls as in _conv_fused_io_tiles."""
+    Channel-grouped matmuls as in _conv_fused_io_tiles.
+
+    gated=True is the gate-fused variant: u/g_ are the RAW u and dout
+    strips, pre/post the gates; ug = u*pre and g = dout*post form at load
+    and the gate products (du = du_inner*pre, dpre = du_inner*u,
+    dpost = y_inner*dout) at store, so the call returns
+    (du, dpre, dpost, dkf_re, dkf_im) with no XLA gate passes."""
     b, h, length = u.shape
     n1, n2 = plan_factors
     n = seqlen
@@ -1207,23 +1216,31 @@ def _bwd_fused_io_tiles(
     if1r_t, if1i_t = _block_diag(if1r_t, if1i_t, g)
     tables = (f1r_t, f1i_t, w1r_t, w1i_t, f2r_t, f2i_t, if2r_t, if2i_t, if1r_t, if1i_t)
 
-    out_shape = [jax.ShapeDtypeStruct((b, h, length), u.dtype)]
-    out_specs = [io_spec]
-    if need_y:
-        out_shape.append(jax.ShapeDtypeStruct((b, h, length), u.dtype))
-        out_specs.append(io_spec)
+    row = jax.ShapeDtypeStruct((b, h, length), u.dtype)
+    n_rows = 3 if gated else (2 if need_y else 1)  # du[, dpre, dpost | y]
+    out_shape = [row] * n_rows
+    out_specs = [io_spec] * n_rows
     out_shape += [jax.ShapeDtypeStruct((h, n1, n2), jnp.float32)] * 2
     out_specs += [kf_spec, kf_spec]
 
     def kernel(*refs):
-        u_ref, g_ref, kfr, kfi = refs[:4]
-        (f1r, f1i, w1r, w1i, f2r, f2i, if2r, if2i, if1r, if1i) = refs[4:14]
-        outs = refs[14:]
-        if need_y:
+        i = 0
+        u_ref = pre_ref = post_ref = None
+        if gated:
+            u_ref, pre_ref, g_ref, post_ref = refs[:4]; i = 4
+        else:
+            u_ref, g_ref = refs[:2]; i = 2
+        kfr, kfi = refs[i], refs[i + 1]; i += 2
+        (f1r, f1i, w1r, w1i, f2r, f2i, if2r, if2i, if1r, if1i) = refs[i:i + 10]
+        i += 10
+        outs = refs[i:]
+        dpre_ref = dpost_ref = y_ref = None
+        if gated:
+            du_ref, dpre_ref, dpost_ref, dkr, dki = outs
+        elif need_y:
             du_ref, y_ref, dkr, dki = outs
         else:
             du_ref, dkr, dki = outs
-            y_ref = None
 
         def mm(a, bb):
             return jnp.dot(
@@ -1266,16 +1283,19 @@ def _bwd_fused_io_tiles(
 
         rows = length // n2
 
-        def load(ref, sl):
-            x = ref[0, sl].astype(jnp.float32).reshape(g, rows, n2)
+        def load(ref, sl, gate_ref=None):
+            x = ref[0, sl].astype(jnp.float32)
+            if gate_ref is not None:  # in-kernel ug / g gate product
+                x = x * gate_ref[0, sl].astype(jnp.float32)
+            x = x.reshape(g, rows, n2)
             if rows < n1:
                 x = jnp.pad(x, ((0, 0), (0, n1 - rows), (0, 0)))
             return x
 
         for grp in range(ht // g):
             sl = slice(grp * g, (grp + 1) * g)
-            ure, uim = fwd_dft(load(u_ref, sl))
-            gre, gim = fwd_dft(load(g_ref, sl))
+            ure, uim = fwd_dft(load(u_ref, sl, pre_ref if gated else None))
+            gre, gim = fwd_dft(load(g_ref, sl, post_ref if gated else None))
 
             pre_ = gre * ure + gim * uim
             pim_ = gim * ure - gre * uim
@@ -1291,28 +1311,46 @@ def _bwd_fused_io_tiles(
                 dki[sl] += pim_
 
             dre, dim_ = cmul(gre, gim, kfr[sl], -kfi[sl])
-            du_ref[0, sl] = (
-                inv_dft_real(dre, dim_)[:, :rows].reshape(g, length).astype(du_ref.dtype)
-            )
+            du_inner = inv_dft_real(dre, dim_)[:, :rows].reshape(g, length)
+            if gated:
+                y_inner = inv_dft_real(*cmul(ure, uim, kfr[sl], kfi[sl]))[
+                    :, :rows
+                ].reshape(g, length)
+                du_ref[0, sl] = (
+                    du_inner * pre_ref[0, sl].astype(jnp.float32)
+                ).astype(du_ref.dtype)
+                dpre_ref[0, sl] = (
+                    du_inner * u_ref[0, sl].astype(jnp.float32)
+                ).astype(dpre_ref.dtype)
+                dpost_ref[0, sl] = (
+                    y_inner * g_ref[0, sl].astype(jnp.float32)
+                ).astype(dpost_ref.dtype)
+                continue
+            du_ref[0, sl] = du_inner.astype(du_ref.dtype)
             if y_ref is not None:
                 yre, yim = cmul(ure, uim, kfr[sl], kfi[sl])
                 y_ref[0, sl] = (
                     inv_dft_real(yre, yim)[:, :rows].reshape(g, length).astype(y_ref.dtype)
                 )
 
+    sig = [u, pre, g_, post] if gated else [u, g_]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[io_spec, io_spec, kf_spec, kf_spec] + [small] * 10,
+        in_specs=[io_spec] * len(sig) + [kf_spec, kf_spec] + [small] * 10,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=_interpret(),
+        compiler_params=None if _interpret() else _compiler_params(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * n * (n1 + n2) * (3 if need_y else 2) * 2,
-            bytes_accessed=b * h * length * (8 if need_y else 6),
+            flops=2 * b * h * n * (n1 + n2) * (3 if need_y or gated else 2) * 2,
+            bytes_accessed=b * h * length * (8 if need_y or gated else 6),
             transcendentals=0,
         ),
-    )(u, g_, kf_re, kf_im, *tables)
+    )(*sig, kf_re, kf_im, *tables)
+    if gated:
+        du, dpre, dpost, dkr, dki = outs
+        return du, dpre, dpost, dkr, dki
     if need_y:
         du, y, dkr, dki = outs
     else:
@@ -2812,6 +2850,29 @@ def _gated_bwd(plan_key, res, dout):
         io = _io_dtype(plan, u.dtype)
         ht = _h_tile(*plan.factors, u.shape[1])
         if ht is not None and length % plan.factors[1] == 0:
+            if pregate is not None:
+                # Gate-fused: raw u/pre/dout/post in, du/dpre/dpost out —
+                # no XLA passes to form ug/g or apply the gate products.
+                du4, dpre4, dpost4, dkr, dki = _bwd_fused_io_tiles(
+                    u.astype(io),
+                    dout.astype(io),
+                    kfc_re,
+                    kfc_im,
+                    _tables(plan),
+                    plan_factors=plan.factors,
+                    seqlen=plan.seqlen,
+                    compute_dtype=plan.compute_dtype_name,
+                    need_y=True,
+                    ht=ht,
+                    gated=True,
+                    pre=pregate.astype(io),
+                    post=postgate.astype(io),
+                )
+                dk = _finish_dk(plan, dkr, dki, k)
+                return (
+                    du4.astype(u.dtype), dk,
+                    dpre4.astype(pregate.dtype), dpost4.astype(postgate.dtype),
+                )
             du4, y4, dkr, dki = _bwd_fused_io_tiles(
                 ug.astype(io),
                 g.astype(io),

@@ -195,6 +195,29 @@ def test_half_band_path(rng, seqlen, b, gated):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
 
 
+@pytest.mark.parametrize("padded", [False, True])
+def test_bwd_fused_io_gated(rng, padded):
+    """The gate-fused 2-factor backward (_bwd_fused_io_tiles gated=True):
+    raw u/pre/dout/post in, du/dpre/dpost out, vs the jnp.fft AD oracle.
+    H=64 satisfies _h_tile so the fused-I/O kernel (not the layout
+    fallback) is the path under test; padded keeps L % n2 == 0."""
+    seqlen = 2048
+    plan = make_plan(seqlen, compute_dtype=jnp.float32)
+    assert mp._h_tile(*plan.factors, 64) is not None
+    length = seqlen - plan.factors[1] if padded else seqlen
+    data = _data(rng, 2, 64, length, gated=True)
+    dout = jnp.asarray(rng.standard_normal(data[0].shape).astype(np.float32) * 0.02)
+    argnums = tuple(range(4))
+    g = jax.grad(lambda *a: jnp.sum(mp.fft_conv_pallas(plan, *a) * dout),
+                 argnums=argnums)(*data)
+    g_ref = jax.grad(lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout),
+                     argnums=argnums)(*data)
+    for n, a, b in zip(["u", "k", "pre", "post"], g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{n}"
+        )
+
+
 @pytest.mark.parametrize("gated", [False, True])
 def test_long_mxu_outer_path(rng, gated):
     """The MXU-outer-DFT formulation inside the fused long kernel and its
