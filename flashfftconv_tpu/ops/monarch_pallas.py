@@ -55,20 +55,22 @@ MAX_FUSED_SEQLEN = 32768
 _MXU_OUTER_MIN_F0 = 8
 
 
-def _fused3_vmem_mb(plan: FftPlan) -> float:
-    """Upper-bound estimate of the fused long kernel's live VMEM (MB), sized
-    for the worst case (packed batch pairs, both gates, complex f32 band
-    results): pipeline-managed I/O blocks are double-buffered, xs/zs are f32
-    kernel temporaries, tables include the Karatsuba sums built in-kernel."""
+def _fused3_vmem_mb(plan: FftPlan, packed: bool = True, gated: bool = True) -> float:
+    """Upper-bound estimate of the fused long kernel's live VMEM (MB):
+    pipeline-managed I/O blocks are double-buffered, xs/zs are f32 kernel
+    temporaries, tables include the Karatsuba sums built in-kernel. packed
+    doubles the I/O rows AND the outer bands (complex pair input defeats
+    the rfft halving); gated adds the pre/post gate blocks."""
     f0, n1, n2 = plan.factors[-3:]
     t = n1 * n2
-    bands = f0 // 2 + 1
+    rows = 2 if packed else 1
+    bands = f0 if packed else f0 // 2 + 1
     io = 2  # bf16 HBM I/O
-    blocks = 2 * f0 * t * io * 2 * 2        # x + out, 2 packed rows, 2 buffers
-    gates = 2 * f0 * t * io * 2 * 2         # pre + post gate blocks
+    blocks = 2 * f0 * t * io * rows * 2     # x + out, 2 buffers
+    gates = blocks if gated else 0          # pre + post gate blocks
     kf = 2 * bands * t * io * 2             # planar spectrum, 2 buffers
     w0 = 2 * bands * t * 4                  # f32 outer twiddle (constant-index)
-    xs = 2 * f0 * t * 4                     # complex f32 chunk loads
+    xs = rows * f0 * t * 4                  # f32 chunk loads (complex if packed)
     zs = 2 * bands * t * 4                  # complex f32 band results
     tables = (4 * n1 * n1 + 4 * n2 * n2 + 2 * n1 * n2) * 4 * 1.5
     temps = 8 * t * 4                       # per-band matmul temporaries
@@ -102,10 +104,15 @@ def supported(plan: FftPlan) -> bool:
     if len(plan.factors) == 3:
         f0, n1, n2 = plan.factors
         # Round-3 shapes (inner <= 32K, N <= 256K) fit Mosaic's default cap;
-        # larger fused shapes are gated on the configured VMEM budget.
+        # larger fused shapes are gated on the configured VMEM budget at the
+        # unpacked+gated estimate (the mode the dispatch can always force —
+        # _use_half drops to half-band unpacked when packing would not fit).
         if n1 * n2 <= MAX_FUSED_SEQLEN and f0 * n1 * n2 <= 8 * MAX_FUSED_SEQLEN:
             return True
-        return _fused3_vmem_mb(plan) <= plan_mod.VMEM_BUDGET_MB
+        return (
+            _fused3_vmem_mb(plan, packed=False, gated=True)
+            <= plan_mod.VMEM_BUDGET_MB
+        )
     if len(plan.factors) == 4:
         f00, f0, n1, n2 = plan.factors
         return n1 * n2 <= MAX_FUSED_SEQLEN and f0 * n1 * n2 <= 8 * MAX_FUSED_SEQLEN
@@ -228,7 +235,10 @@ def _h_tile(n1: int, n2: int, h: int) -> int | None:
     # bf16): ht = 2^18/N. The old min(64, ...) clamp made N <= 2K blocks
     # tiny (64 KB at N=256) so per-grid-step dispatch/DMA latency dominated
     # the small-N kernels; the clamp now only guards the degenerate N < 256.
-    cap = max(g, _H_TILE, min(1024, (1 << 18) // n))
+    # A raised VMEM budget (plan.VMEM_BUDGET_MB) scales the per-block
+    # allotment up to 4 MB — fewer, larger grid steps.
+    scale = min(max(plan_mod.VMEM_BUDGET_MB // 16, 1), 4)
+    cap = max(g, _H_TILE, min(1024, (scale << 18) // n))
     ht = cap - (cap % g)
     while ht >= g:
         if h % ht == 0:
@@ -1511,10 +1521,13 @@ def _long_kernel(
         return v
 
     def in_flat(row):
-        """All f0 chunks of one row as an (f0, n1*n2) f32 matrix (in-gated)."""
-        v = u_ref[row, 0].astype(jnp.float32)
-        if pre_ref is not None:
-            v = v * pre_ref[row, 0].astype(jnp.float32)
+        """All f0 chunks of one row as an (f0, n1*n2) matrix (in-gated).
+        Ungated rows pass through at the I/O dtype — the outer-DFT matmul
+        casts to compute dtype itself, so a f32 staging copy would only
+        add VMEM pressure and a convert pass."""
+        if pre_ref is None:
+            return u_ref[row, 0][...].reshape(f0, t)
+        v = u_ref[row, 0].astype(jnp.float32) * pre_ref[row, 0].astype(jnp.float32)
         return v.reshape(f0, t)
 
     xs = None
@@ -1548,8 +1561,8 @@ def _long_kernel(
         if packed:
             fr, fi = in_flat(0), in_flat(1)
         elif complex_io:
-            fr = u_ref[0, 0].astype(jnp.float32).reshape(f0, t)
-            fi = uim_ref[0, 0].astype(jnp.float32).reshape(f0, t)
+            fr = u_ref[0, 0][...].reshape(f0, t)
+            fi = uim_ref[0, 0][...].reshape(f0, t)
         else:
             fr, fi = in_flat(0), None
         sr, si = _mxu_outer_fwd(mm, c0_ref[...], s0_ref[...], fr, fi)
@@ -1583,8 +1596,14 @@ def _long_kernel(
         rr, ri = cmm_r(xre, xim, if2r_m, if2i_m, if2s_m)
         xre, xim = cmul(rr, ri, w1r_m, -w1i_m)
         rr2, ri2 = cmm_l(if1r_m, if1i_m, if1s_m, xre, xim)
-        # conjugate outer twiddle
-        zs.append(cmul(rr2, ri2, w0r_ref[0, k0], -w0i_ref[0, k0]))
+        # conjugate outer twiddle; in the MXU-outer path band results are
+        # stored at compute dtype (the inverse-outer matmul would truncate
+        # its operands to compute dtype anyway — keeping zs f32 only costs
+        # VMEM and a convert pass)
+        z = cmul(rr2, ri2, w0r_ref[0, k0], -w0i_ref[0, k0])
+        if mxu_outer:
+            z = (z[0].astype(compute_dtype), z[1].astype(compute_dtype))
+        zs.append(z)
 
     # ---- inverse outer DFT (carries 1/N via ic0/is0; with half-band
     # tables the weighted real-part sum reconstructs all f0 chunks) --------
@@ -1986,11 +2005,24 @@ def _use_half(plan, x) -> bool:
     is unavailable (odd/unit batch) — packing and halving are alternative
     exploitations of the same input realness, each worth ~2x on the outer
     bands. The kernel spectrum must be computed at matching bands
-    (_kernel_spectrum(half=...))."""
+    (_kernel_spectrum(half=...)). Big-tile 3-factor plans additionally
+    force half-band when the packed working set would not fit the VMEM
+    budget (packing doubles both the I/O rows and the outer bands)."""
     if len(plan.factors) < 3:
         return False
     b = x.shape[0] if x.ndim == 3 else 1
-    return b % 2 == 1 or b < 2
+    if b % 2 == 1 or b < 2:
+        return True
+    f0, n1, n2 = plan.factors[-3:]
+    if (
+        len(plan.factors) == 3
+        and not (n1 * n2 <= MAX_FUSED_SEQLEN
+                 and f0 * n1 * n2 <= 8 * MAX_FUSED_SEQLEN)
+        and _fused3_vmem_mb(plan, packed=True, gated=True)
+        > plan_mod.VMEM_BUDGET_MB
+    ):
+        return True
+    return False
 
 
 def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
@@ -2096,8 +2128,8 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
         squeeze = u.ndim == 2
         x5 = shape_in(u)
         b, h = x5.shape[:2]
-        packed = b % 2 == 0 and b >= 2
         half = _use_half(plan, u)
+        packed = b % 2 == 0 and b >= 2 and not half
         o5, _ = _long_tiles(
             x5,
             None,
@@ -2392,11 +2424,16 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False,
             dkr_ref[0, k0] += pr
             dki_ref[0, k0] += pi
 
+        def _store_z(z):
+            if mxu_outer:
+                return (z[0].astype(compute_dtype), z[1].astype(compute_dtype))
+            return z
+
         dre, dim_ = cmul(gfr, gfi, kfr_ref[0, k0], -kfi_ref[0, k0])
-        zs_du.append(inv_inner(dre, dim_, k0))
+        zs_du.append(_store_z(inv_inner(dre, dim_, k0)))
         if need_y:
             yre, yim = cmul(ufr, ufi, kfr_ref[0, k0], kfi_ref[0, k0])
-            zs_y.append(inv_inner(yre, yim, k0))
+            zs_y.append(_store_z(inv_inner(yre, yim, k0)))
 
     # inverse outer DFT: real-input case uses half-band weighted ic0/is0
     # (real output); complex_io uses full tables and emits complex rows.

@@ -62,11 +62,13 @@ VMEM_BUDGET_MB = int(os.environ.get("FLASHFFTCONV_VMEM_MB", "16"))
 # budget has been raised past Mosaic's default (min_mb below, estimated by
 # monarch_pallas._fused3_vmem_mb and validated by the on-chip factor sweep,
 # benchmarks/tpu_factor_sweep.py).
+# min_mb = the unpacked+gated _fused3_vmem_mb estimate (the mode the
+# dispatch can always force); 4M's smallest candidate estimates at ~157 MB,
+# past any plausible budget, so 4M keeps the 4-level pipeline.
 _LONG3_CANDIDATES: dict[int, tuple[tuple[int, tuple[int, ...]], ...]] = {
-    524288: ((28, (4, 512, 256)),),
-    1048576: ((48, (8, 512, 256)),),
-    2097152: ((80, (8, 512, 512)),),
-    4194304: ((112, (16, 512, 512)),),
+    524288: ((32, (4, 512, 256)), (27, (8, 512, 128))),
+    1048576: ((48, (8, 512, 256)), (43, (16, 512, 128))),
+    2097152: ((93, (8, 512, 512)), (80, (16, 512, 256))),
 }
 
 
