@@ -72,3 +72,36 @@ def test_custom_factors(rng):
     ref = np.fft.fft(x)
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got / scale, ref / scale, atol=3e-6)
+
+
+def test_default_factors_budget(monkeypatch):
+    """>=512K factor choice follows the VMEM budget: the 4-level pipeline
+    under Mosaic's 16 MB default, the single-pass fused 3-factor shapes
+    once the budget clears each candidate's unpacked+gated estimate."""
+    from flashfftconv_tpu.ops import plan as plan_mod
+
+    monkeypatch.setattr(plan_mod, "VMEM_BUDGET_MB", 16)
+    assert plan_mod.default_factors(524288) == (4, 4, 256, 128)
+    assert plan_mod.default_factors(1048576) == (8, 4, 256, 128)
+    monkeypatch.setattr(plan_mod, "VMEM_BUDGET_MB", 48)
+    assert plan_mod.default_factors(524288) == (4, 512, 256)
+    assert plan_mod.default_factors(1048576) == (8, 512, 256)
+    monkeypatch.setattr(plan_mod, "VMEM_BUDGET_MB", 100)
+    assert plan_mod.default_factors(2097152) == (8, 512, 512)
+    # 4M never qualifies (smallest candidate ~157 MB unpacked+gated)
+    assert plan_mod.default_factors(4194304) == (32, 4, 256, 128)
+
+
+def test_use_half_budget_forcing(monkeypatch):
+    """Even-batch inputs on big-tile 3-factor plans drop to half-band
+    unpacked when the packed working set would exceed the budget."""
+    from flashfftconv_tpu.ops import plan as plan_mod
+    from flashfftconv_tpu.ops import monarch_pallas as mp
+
+    plan = make_plan(1048576, compute_dtype=jnp.bfloat16, factors=(8, 512, 256))
+    x = jnp.zeros((2, 1, 1048576), jnp.bfloat16)
+    monkeypatch.setattr(plan_mod, "VMEM_BUDGET_MB", 64)
+    assert mp.supported(plan)           # unpacked+gated ~48 MB fits
+    assert mp._use_half(plan, x)        # packed+gated ~77 MB does not
+    monkeypatch.setattr(plan_mod, "VMEM_BUDGET_MB", 100)
+    assert not mp._use_half(plan, x)    # packed fits again
