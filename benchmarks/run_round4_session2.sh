@@ -26,6 +26,22 @@ run parity_gatefused 5400 env TPU_PARITY_FORCE=1 \
 #    round-3 shapes, fwd + fwd+bwd, oracle-checked.
 run factor_sweep 10800 python -u benchmarks/tpu_factor_sweep.py
 
+# 3b. conv1d A/B re-run (session-1 run crashed on the since-reverted wide
+#     D-tile and its partial rows measured that bad code): XLA-transpose
+#     backward vs the fused Pallas backward, both at the default budget...
+run conv1d_bwdconvs 3600 env FLASHFFTCONV_DW_BWD_CONVS=1 \
+  python -u benchmarks/benchmark_conv1d.py \
+  --csv benchmarks/results_conv1d_v5e_bwdconvs.csv
+
+# 3c. ...and the improved fused backward under the raised budget
+#     (_BWD_BIG: one-time f32 strips + forward-size L tiles).
+run conv1d_bigbwd 3600 env FLASHFFTCONV_VMEM_MB=100 \
+  python -u benchmarks/benchmark_conv1d.py \
+  --csv benchmarks/results_conv1d_v5e_bigbwd.csv
+
+# 3d. Small-N overhead probe (session-1 run hit a transient relay outage).
+run smalln_probe 3600 python -u benchmarks/tpu_smalln_probe.py
+
 # 3. LRA ListOps quality run (S4-class ~59.6%, Transformer 36.4%, random 10%).
 run listops 7200 python -u examples/lra/train_listops.py --epochs 20 \
   --log-file benchmarks/listops_v5e.jsonl

@@ -53,7 +53,10 @@ def scanned(body):
 def main():
     if not device_reachable():
         log("tpu_smalln_probe: device unreachable")
-        sys.exit(3)
+        # os._exit: the axon client's C++ teardown SIGABRTs over sys.exit
+        # when the relay is down (same fix as bench.py, BENCH_r03 rc=134)
+        sys.stderr.flush()
+        os._exit(3)
 
     rng = np.random.default_rng(0)
     for n in (256, 512, 1024, 2048):

@@ -53,13 +53,12 @@ _D_TILE = 128
 
 
 def _d_tile(d: int) -> int:
-    """Channel-tile width: the widest multiple-of-128 lane tile dividing d.
-    At D=768 the 128-lane tile costs 6x the grid steps (and their per-step
-    DMA latency) of a 384-lane tile for the same traffic — the measured
-    0.66-0.95x fwd corners at D=768 (results_conv1d_v5e.csv rows 1-2, 9)."""
-    for t in (512, 384, 256, 128):
-        if d % t == 0:
-            return t
+    """Channel-tile width. MEASURED on v5e (round-4 conv1d A/B log): wider
+    tiles (384/512 lanes) consistently LOSE to 128 — e.g. 0.85x vs 1.17x at
+    (L=2048, D=768) and 0.84x vs 1.40x at (1024, 8192) — and the (lt, 512)
+    bf16 strip blows the 16 MB default scoped-VMEM cap at D=1024. The
+    128-lane tile keeps the VPU fully occupied already; wider tiles only
+    shrink the grid (less pipeline overlap) without adding bandwidth."""
     return _D_TILE
 
 
