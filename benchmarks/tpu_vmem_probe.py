@@ -62,8 +62,9 @@ def main():
                 ),
             )
             out = jax.jit(fn)(x)
-            ok = bool(np.allclose(np.asarray(out), 5.0))
-            return ok, None
+            # kernel computes x*2 + (x+1) = 4 for x = 1
+            ok = bool(np.allclose(np.asarray(out), 4.0))
+            return ok, None if ok else f"wrong value {np.asarray(out).ravel()[0]}"
         except Exception as e:
             return False, repr(e)[:300]
 
