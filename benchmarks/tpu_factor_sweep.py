@@ -34,9 +34,9 @@ OUT_PATH = os.path.join(os.path.dirname(__file__), "tpu_factor_sweep.json")
 # (f0, n1, n2) / (f00, f0, n1, n2) candidates per size; first entry is the
 # round-3 default shape (the control).
 CANDIDATES = {
-    65536: [(2, 256, 128), (4, 128, 128)],
-    131072: [(4, 256, 128), (2, 512, 128)],
-    262144: [(8, 256, 128), (2, 512, 256), (4, 512, 128)],
+    65536: [(2, 256, 128), (4, 128, 128), (256, 256)],
+    131072: [(4, 256, 128), (2, 512, 128), (256, 512), (512, 256)],
+    262144: [(8, 256, 128), (2, 512, 256), (4, 512, 128), (512, 512)],
     524288: [(4, 4, 256, 128), (4, 512, 256), (8, 512, 128), (2, 1024, 256)],
     1048576: [(8, 4, 256, 128), (8, 512, 256), (4, 1024, 256), (16, 512, 128)],
     2097152: [(16, 4, 256, 128), (8, 512, 512), (16, 512, 256), (8, 1024, 256)],
@@ -110,6 +110,8 @@ def main():
                 rec["supported"] = mp.supported(plan)
                 if len(factors) == 3:
                     rec["vmem_est_mb"] = round(mp._fused3_vmem_mb(plan), 1)
+                elif len(factors) == 2:
+                    rec["vmem_est_mb"] = round(mp._fused2_vmem_mb(plan), 1)
                 fn = lambda u_, k_, pre_, post_: mp.fft_conv_pallas(
                     plan, u_, k_, pre_, post_
                 )

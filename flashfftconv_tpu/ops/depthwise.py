@@ -37,7 +37,7 @@ def _compiler_params():
     """Raise Mosaic's scoped-VMEM cap to the configured budget (the same
     knob as the long-conv kernels; see plan.VMEM_BUDGET_MB)."""
     return pltpu.CompilerParams(
-        vmem_limit_bytes=max(plan_mod.VMEM_BUDGET_MB, 16) * 2**20
+        vmem_limit_bytes=max(plan_mod.vmem_budget_mb(), 16) * 2**20
     )
 
 # Largest L handled as a single VMEM strip; longer sequences are processed
@@ -328,9 +328,14 @@ _DK_ROWS = 16
 # the forward's and both strips are converted to f32 ONCE — the per-tap
 # widening costs ~2k extra full-strip VPU passes, which is what left the
 # committed backward at 0.47-0.72x of XLA's AD (results_conv1d_v5e.csv).
-_BWD_BIG = plan_mod.VMEM_BUDGET_MB >= 48
-_L_TILE_BWD = _L_TILE if _BWD_BIG else 2048
-_L_TILE_BWD_BHL = _L_TILE_BHL if _BWD_BIG else 1024
+def _bwd_big() -> bool:
+    return plan_mod.vmem_budget_mb() >= 48
+
+
+def _l_tile_bwd(is_bhl: bool) -> int:
+    if _bwd_big():
+        return _L_TILE_BHL if is_bhl else _L_TILE
+    return 1024 if is_bhl else 2048
 
 
 @functools.partial(jax.jit, static_argnames=("padding", "is_bhl"))
@@ -352,7 +357,7 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
     k = w_kd.shape[0]
     hp = 64 if is_bhl else 8
     l = x.shape[-1] if is_bhl else x.shape[-2]
-    lmax = _L_TILE_BWD_BHL if is_bhl else _L_TILE_BWD
+    lmax = _l_tile_bwd(is_bhl)
     lt = l if l <= lmax else lmax
     nt = l // lt
     axis = x.ndim - 1 if is_bhl else x.ndim - 2
@@ -411,7 +416,7 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
             """[left halo | tile | right halo] as one strip — built once, so
             each tap's shifted window is a plain slice instead of a
             zeros+pad+add pass (the bwd kernel was VPU-bound on those).
-            With the raised VMEM budget (_BWD_BIG) the strip is converted
+            With the raised VMEM budget (_bwd_big) the strip is converted
             to f32 HERE, once; under the 16 MB default it stays in the
             input dtype and slices widen transiently at use (a persistent
             f32 strip exceeds the default scoped-VMEM cap)."""
@@ -422,14 +427,14 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
                 zshape = (dt, hp) if is_bhl else (hp, dt)
                 left = right = jnp.zeros(zshape, tile_ref.dtype)
             xe = jnp.concatenate([left, tile_ref[0], right], axis=ax)
-            return xe.astype(jnp.float32) if _BWD_BIG else xe
+            return xe.astype(jnp.float32) if _bwd_big() else xe
 
         def shifted(xe, s):
             """xe rows [hp + s, hp + s + lt) — tile rows l + s — as f32."""
             seg = (
                 xe[:, hp + s : hp + s + lt] if is_bhl else xe[hp + s : hp + s + lt, :]
             )
-            return seg if _BWD_BIG else seg.astype(jnp.float32)
+            return seg if _bwd_big() else seg.astype(jnp.float32)
 
         xe = extended(x_ref, xh_ref)
         de = extended(dout_ref, dh_ref)
@@ -564,8 +569,8 @@ def _dw_bwd(padding, is_bhl, out_dtype, res, dout):
         and k <= 9
         and dout.shape == x.shape
         and (
-            l_bwd <= (_L_TILE_BWD_BHL if is_bhl else _L_TILE_BWD)
-            or l_bwd % (_L_TILE_BWD_BHL if is_bhl else _L_TILE_BWD) == 0
+            l_bwd <= _l_tile_bwd(is_bhl)
+            or l_bwd % _l_tile_bwd(is_bhl) == 0
         )
     )
     if fused_ok and not os.environ.get("FLASHFFTCONV_DW_BWD_CONVS"):

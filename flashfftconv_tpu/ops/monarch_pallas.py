@@ -77,12 +77,32 @@ def _fused3_vmem_mb(plan: FftPlan, packed: bool = True, gated: bool = True) -> f
     return (blocks + gates + kf + w0 + xs + zs + tables + temps) / 2**20
 
 
+def _fused2_vmem_mb(plan: FftPlan, gated: bool = True, ht: int | None = None) -> float:
+    """Upper-bound estimate of the fused-I/O 2-factor kernel's live VMEM
+    (MB) at seqlens past MAX_FUSED_SEQLEN, where admission is budget-gated
+    (the <=32K shapes all fit Mosaic's default cap and skip this). The
+    fused-I/O path always packs two batch rows per grid step; the kf planes
+    are blocked per h-tile; per-group chain temporaries are f32."""
+    n1, n2 = plan.factors
+    n = n1 * n2
+    if ht is None:
+        ht = _h_tile(n1, n2, 0) or _H_TILE  # h=0: generic cap, ht | h refines
+    io = 2  # bf16 HBM I/O
+    blocks = 2 * 2 * ht * n * io * 2        # x + out, 2 rows, 2 buffers
+    gates = blocks if gated else 0          # pre + post gate blocks
+    kf = 2 * ht * n * io * 2                # planar spectrum block, 2 buffers
+    g = _group_size(n1)
+    temps = 10 * g * n * 4                  # f32 chain temporaries per group
+    tables = (4 * g * g * n1 * n1 + 4 * n2 * n2 + 2 * n1 * n2) * 4 * 1.5
+    return (blocks + gates + kf + temps + tables) / 2**20
+
+
 def _compiler_params():
     """Per-kernel Mosaic params: raise the scoped-VMEM cap to the configured
     budget (plan.VMEM_BUDGET_MB; Mosaic's default is ~16 MB while v5e-class
     chips physically carry far more — benchmarks/tpu_vmem_probe.py)."""
     return pltpu.CompilerParams(
-        vmem_limit_bytes=max(plan_mod.VMEM_BUDGET_MB, 16) * 2**20
+        vmem_limit_bytes=max(plan_mod.vmem_budget_mb(), 16) * 2**20
     )
 
 
@@ -100,7 +120,17 @@ def supported(plan: FftPlan) -> bool:
         # up to 1024 (1.84 vs 2.05 ms at B=16/H=768/N=1024 on v5e).
         return plan.seqlen <= 1024
     if len(plan.factors) == 2:
-        return 256 <= plan.seqlen <= MAX_FUSED_SEQLEN
+        if plan.seqlen < 256:
+            return False
+        if plan.seqlen <= MAX_FUSED_SEQLEN:
+            return True
+        # Big 2-factor plans (64K-256K as a single matmul-chain kernel, no
+        # outer butterfly at all) admit on the VMEM budget like the big
+        # 3-factor shapes; both stage matrices stay MXU-sized (<= 512).
+        return (
+            max(plan.factors) <= 512
+            and _fused2_vmem_mb(plan, gated=True) <= plan_mod.vmem_budget_mb()
+        )
     if len(plan.factors) == 3:
         f0, n1, n2 = plan.factors
         # Round-3 shapes (inner <= 32K, N <= 256K) fit Mosaic's default cap;
@@ -111,7 +141,7 @@ def supported(plan: FftPlan) -> bool:
             return True
         return (
             _fused3_vmem_mb(plan, packed=False, gated=True)
-            <= plan_mod.VMEM_BUDGET_MB
+            <= plan_mod.vmem_budget_mb()
         )
     if len(plan.factors) == 4:
         f00, f0, n1, n2 = plan.factors
@@ -237,7 +267,7 @@ def _h_tile(n1: int, n2: int, h: int) -> int | None:
     # the small-N kernels; the clamp now only guards the degenerate N < 256.
     # A raised VMEM budget (plan.VMEM_BUDGET_MB) scales the per-block
     # allotment up to 4 MB — fewer, larger grid steps.
-    scale = min(max(plan_mod.VMEM_BUDGET_MB // 16, 1), 4)
+    scale = min(max(plan_mod.vmem_budget_mb() // 16, 1), 4)
     cap = max(g, _H_TILE, min(1024, (scale << 18) // n))
     ht = cap - (cap % g)
     while ht >= g:
@@ -2019,7 +2049,7 @@ def _use_half(plan, x) -> bool:
         and not (n1 * n2 <= MAX_FUSED_SEQLEN
                  and f0 * n1 * n2 <= 8 * MAX_FUSED_SEQLEN)
         and _fused3_vmem_mb(plan, packed=True, gated=True)
-        > plan_mod.VMEM_BUDGET_MB
+        > plan_mod.vmem_budget_mb()
     ):
         return True
     return False

@@ -48,13 +48,33 @@ MAX_INNER = 32768
 
 # Per-kernel VMEM budget (MB) used for factor selection and as the Pallas
 # vmem_limit_bytes cap. Mosaic's DEFAULT scoped-VMEM cap is ~16 MB, but the
-# physical VMEM on v5e-class chips is larger and
-# pltpu.CompilerParams(vmem_limit_bytes=...) raises the compiler's cap
-# (hardware probe: benchmarks/tpu_vmem_probe.py). The conservative 16
-# default keeps every plan identical to the round-3 hardware-verified
-# shapes; override with FLASHFFTCONV_VMEM_MB once a larger budget is
-# confirmed on the target chip.
-VMEM_BUDGET_MB = int(os.environ.get("FLASHFFTCONV_VMEM_MB", "16"))
+# physical VMEM on v5e-class chips is 128 MB and
+# pltpu.CompilerParams(vmem_limit_bytes=...) raises the compiler's cap.
+# The default is resolved per backend on first use: 100 MB on TPU (every
+# budget-gated plan shape validated on-chip by benchmarks/tpu_factor_sweep.py
+# at this value) and 16 on CPU, where Pallas runs interpreted and the small
+# round-3 shapes keep the test suite fast. FLASHFFTCONV_VMEM_MB overrides;
+# tests may also monkeypatch VMEM_BUDGET_MB directly.
+VMEM_BUDGET_MB: int | None = (
+    int(os.environ["FLASHFFTCONV_VMEM_MB"])
+    if os.environ.get("FLASHFFTCONV_VMEM_MB")
+    else None
+)
+_TPU_DEFAULT_VMEM_MB = 100
+_CPU_DEFAULT_VMEM_MB = 16
+
+
+def vmem_budget_mb() -> int:
+    """The effective per-kernel VMEM budget (MB); see VMEM_BUDGET_MB."""
+    if VMEM_BUDGET_MB is not None:
+        return VMEM_BUDGET_MB
+    import jax
+
+    return (
+        _TPU_DEFAULT_VMEM_MB
+        if jax.default_backend() == "tpu"
+        else _CPU_DEFAULT_VMEM_MB
+    )
 
 # Preferred 3-factor shapes for 512K-4M: ONE fused kernel pass (a single HBM
 # round trip, MXU-dominant) instead of the 4-level butterfly pipeline's
@@ -121,7 +141,7 @@ def default_factors(seqlen: int) -> tuple[int, ...]:
     # long kernel over a 128K inner block, and an inverse butterfly (f0=4
     # keeps the complex-I/O inner kernel inside Mosaic's 16 MB default).
     for min_mb, factors in _LONG3_CANDIDATES.get(seqlen, ()):
-        if VMEM_BUDGET_MB >= min_mb:
+        if vmem_budget_mb() >= min_mb:
             return factors
     f00 = seqlen // (4 * MAX_INNER)
     return (f00, 4) + default_factors(MAX_INNER)

@@ -235,7 +235,7 @@ def test_fused_bwd_tiled(rng, monkeypatch, is_bhl, k):
     from flashfftconv_tpu.ops import depthwise as dw
 
     monkeypatch.setattr(dw, "_L_TILE", 64)
-    monkeypatch.setattr(dw, "_L_TILE_BWD", 64)
+    monkeypatch.setattr(dw, "_l_tile_bwd", lambda is_bhl: 64)
     b, d, l, pad = 2, 128, 256, (k - 1) // 2
     w_dk = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
     bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from flashfftconv_tpu.ops import monarch_pallas as mp
+from flashfftconv_tpu.ops import plan as plan_mod
 from flashfftconv_tpu.ops.monarch_xla import fft_conv_reference
 from flashfftconv_tpu.ops.plan import make_plan
 
@@ -270,6 +271,36 @@ def test_long_bign1_512k(rng):
     )(u, k)
     np.testing.assert_allclose(np.asarray(du), np.asarray(g_ref[0]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(g_ref[1]), atol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("gated", [False, True])
+def test_big_2factor_path(rng, gated, monkeypatch):
+    """A big 2-factor plan — 64K as a single (256, 256) fused-I/O kernel,
+    no outer butterfly at all — through the full dispatch (fwd + all
+    grads). These shapes are budget-gated (monarch_pallas.supported's
+    _fused2_vmem_mb check); the budget is monkeypatched here so interpret
+    mode takes the same admission path the chip does."""
+    monkeypatch.setattr(plan_mod, "VMEM_BUDGET_MB", 100)
+    seqlen = 65536
+    plan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(256, 256))
+    assert mp.supported(plan)
+    length = seqlen // 2 if gated else seqlen
+    data = _data(rng, 2, 2, length, gated=gated)
+    y = mp.fft_conv_pallas(plan, *data)
+    y_ref = fft_conv_reference(seqlen, *data)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    dout = jnp.asarray(rng.standard_normal(data[0].shape).astype(np.float32) * 0.02)
+    argnums = tuple(range(len(data)))
+    g = jax.grad(lambda *a: jnp.sum(mp.fft_conv_pallas(plan, *a) * dout),
+                 argnums=argnums)(*data)
+    g_ref = jax.grad(lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout),
+                     argnums=argnums)(*data)
+    for n, a, b in zip(["u", "k", "pre", "post"], g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{n}"
+        )
 
 
 @pytest.mark.slow
