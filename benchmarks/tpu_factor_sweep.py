@@ -39,8 +39,11 @@ CANDIDATES = {
     262144: [(8, 256, 128), (2, 512, 256), (4, 512, 128), (512, 512)],
     524288: [(4, 4, 256, 128), (4, 512, 256), (8, 512, 128), (2, 1024, 256)],
     1048576: [(8, 4, 256, 128), (8, 512, 256), (4, 1024, 256), (16, 512, 128)],
-    2097152: [(16, 4, 256, 128), (8, 512, 512), (16, 512, 256), (8, 1024, 256)],
-    4194304: [(32, 4, 256, 128), (16, 512, 512), (16, 1024, 256)],
+    2097152: [(16, 4, 256, 128), (8, 512, 512), (16, 512, 256), (32, 256, 256)],
+    # 4M: no single-pass 3-factor shape fits the budget (best ~135 MB);
+    # instead try fatter pipelines — bigger complex inner per butterfly.
+    4194304: [(32, 4, 256, 128), (8, 8, 512, 128), (4, 16, 512, 128),
+              (16, 8, 256, 128)],
 }
 
 
@@ -77,6 +80,14 @@ def main():
             results = json.load(open(OUT_PATH))["results"]
         except Exception:
             results = []
+    # Relay/transport errors (remote_compile drops, broken pipes) are
+    # transient — drop those rows on resume so they retry; keep rows that
+    # failed on a real numeric/compile error for the record.
+    transient = ("remote_compile", "Broken pipe", "read body", "unreachable")
+    results = [
+        r for r in results
+        if not any(t in r.get("error", "") for t in transient)
+    ]
     done = {(r["seqlen"], tuple(r["factors"])) for r in results}
 
     def flush():

@@ -145,7 +145,17 @@ def supported(plan: FftPlan) -> bool:
         )
     if len(plan.factors) == 4:
         f00, f0, n1, n2 = plan.factors
-        return n1 * n2 <= MAX_FUSED_SEQLEN and f0 * n1 * n2 <= 8 * MAX_FUSED_SEQLEN
+        if n1 * n2 <= MAX_FUSED_SEQLEN and f0 * n1 * n2 <= 8 * MAX_FUSED_SEQLEN:
+            return True
+        # Fatter pipelines (e.g. 4M as butterfly(8) + 512K complex inner):
+        # the inner fused kernel runs complex-I/O ungated — the same live
+        # set as the packed/ungated mode of the 3-factor estimator
+        # (complex pair == packed rows; gates ride the butterflies).
+        return (
+            max(n1, n2) <= 512
+            and _fused3_vmem_mb(plan, packed=True, gated=False)
+            <= plan_mod.vmem_budget_mb()
+        )
     return False
 
 
