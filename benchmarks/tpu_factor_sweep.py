@@ -83,7 +83,9 @@ def main():
     # Relay/transport errors (remote_compile drops, broken pipes) are
     # transient — drop those rows on resume so they retry; keep rows that
     # failed on a real numeric/compile error for the record.
-    transient = ("remote_compile", "Broken pipe", "read body", "unreachable")
+    # ("HTTP 500 ... compile_helper exit" is a real, repeatable compile
+    # failure — keep those rows as the record.)
+    transient = ("Broken pipe", "read body", "unreachable")
     results = [
         r for r in results
         if not any(t in r.get("error", "") for t in transient)

@@ -47,7 +47,10 @@ def set_b_h(seqlen: int) -> tuple[int, int]:
     if seqlen <= 32768:
         return 2, 128
     if seqlen <= 262144:
-        return 1, 32
+        # even B so the big 2-factor defaults take the fused-I/O (packed)
+        # path here, same as training shapes; B=1 odd-batch coverage at
+        # these sizes comes from the rows-grad cases below.
+        return 2, 16
     return 1, 8
 
 

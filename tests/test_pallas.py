@@ -304,6 +304,32 @@ def test_big_2factor_path(rng, gated, monkeypatch):
 
 
 @pytest.mark.slow
+def test_fat_4factor_path(rng, monkeypatch):
+    """A budget-gated fat 4-factor pipeline — 1M as butterfly(2) + one
+    512K complex inner (inner f0*n1*n2 past the old 256K cap) — through
+    full dispatch: gated fwd + all four grads vs the jnp.fft oracle."""
+    monkeypatch.setattr(plan_mod, "VMEM_BUDGET_MB", 100)
+    seqlen = 1048576
+    plan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(2, 8, 512, 128))
+    assert mp.supported(plan)
+    data = _data(rng, 1, 2, seqlen // 2, gated=True)
+    y = mp.fft_conv_pallas(plan, *data)
+    y_ref = fft_conv_reference(seqlen, *data)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    dout = jnp.asarray(rng.standard_normal(data[0].shape).astype(np.float32) * 0.02)
+    argnums = tuple(range(4))
+    g = jax.grad(lambda *a: jnp.sum(mp.fft_conv_pallas(plan, *a) * dout),
+                 argnums=argnums)(*data)
+    g_ref = jax.grad(lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout),
+                     argnums=argnums)(*data)
+    for n, a, b in zip(["u", "k", "pre", "post"], g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{n}"
+        )
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("gated", [False, True])
 @pytest.mark.parametrize("padded", [False, True])
 def test_long_bwd_fused(rng, gated, padded):
