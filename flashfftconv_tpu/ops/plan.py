@@ -76,20 +76,23 @@ def vmem_budget_mb() -> int:
         else _CPU_DEFAULT_VMEM_MB
     )
 
-# Preferred 3-factor shapes for 512K-4M: ONE fused kernel pass (a single HBM
-# round trip, MXU-dominant) instead of the 4-level butterfly pipeline's
-# three passes — but their VMEM footprints only fit when the scoped-VMEM
-# budget has been raised past Mosaic's default (min_mb below, estimated by
-# monarch_pallas._fused3_vmem_mb and validated by the on-chip factor sweep,
-# benchmarks/tpu_factor_sweep.py).
-# min_mb = the unpacked+gated _fused3_vmem_mb estimate (the mode the
-# dispatch can always force); 4M's smallest candidate estimates at ~157 MB,
-# past any plausible budget, so 4M keeps the 4-level pipeline.
-_LONG3_CANDIDATES: dict[int, tuple[tuple[int, tuple[int, ...]], ...]] = {
-    524288: ((32, (4, 512, 256)), (27, (8, 512, 128))),
+# Preferred factorizations for every long size (> MAX_INNER), in measured
+# preference order (on-chip autotune: benchmarks/tpu_factor_sweep.py /
+# tpu_factor_sweep.json), each gated on the VMEM budget: min_mb is the
+# admission estimate of the shape's fused kernel in the mode the dispatch
+# can always force (2-factor: _fused2_vmem_mb gated; 3-factor:
+# _fused3_vmem_mb unpacked+gated; 4-factor: complex-inner packed+ungated).
+# Entries may be 2-factor (one fused-I/O kernel, no butterfly at all),
+# 3-factor (one fused long-kernel pass) or 4-factor (butterfly pipeline
+# with a fat complex inner). Sizes fall back to the conservative shapes
+# below the table when nothing is admitted (Mosaic's ~16 MB default cap).
+_LONG_CANDIDATES: dict[int, tuple[tuple[int, tuple[int, ...]], ...]] = {
+    524288: ((41, (8, 512, 128)), (32, (4, 512, 256))),
     1048576: ((48, (8, 512, 256)), (43, (16, 512, 128))),
     2097152: ((93, (8, 512, 512)), (80, (16, 512, 256))),
 }
+# Back-compat alias (round-3 name, still referenced by older notes).
+_LONG3_CANDIDATES = _LONG_CANDIDATES
 
 
 def is_supported_seqlen(seqlen: int) -> bool:
@@ -132,17 +135,17 @@ def default_factors(seqlen: int) -> tuple[int, ...]:
         f1 = seqlen // f2
         assert f1 * f2 == seqlen and f1 <= _MAX_FACTOR
         return (f1, f2)
+    # > 32K: measured winners first (budget-gated, _LONG_CANDIDATES), then
+    # the conservative fallbacks that fit Mosaic's ~16 MB default cap.
+    for min_mb, factors in _LONG_CANDIDATES.get(seqlen, ()):
+        if vmem_budget_mb() >= min_mb:
+            return factors
     if seqlen <= 8 * MAX_INNER:  # 64K-256K: fused long kernel holds (f0, N1, N2)
         outer = seqlen // MAX_INNER
         return (outer,) + default_factors(MAX_INNER)
-    # 512K-4M: prefer a single fused 3-factor kernel with larger inner tiles
-    # when the VMEM budget allows (one HBM round trip); otherwise fall back
-    # to the 4-level pipeline — a Pallas outer butterfly over f00, the fused
-    # long kernel over a 128K inner block, and an inverse butterfly (f0=4
-    # keeps the complex-I/O inner kernel inside Mosaic's 16 MB default).
-    for min_mb, factors in _LONG3_CANDIDATES.get(seqlen, ()):
-        if vmem_budget_mb() >= min_mb:
-            return factors
+    # 512K-4M fallback: the 4-level pipeline — a Pallas outer butterfly over
+    # f00, the fused long kernel over a 128K inner block, and an inverse
+    # butterfly (f0=4 keeps the complex-I/O inner inside the 16 MB default).
     f00 = seqlen // (4 * MAX_INNER)
     return (f00, 4) + default_factors(MAX_INNER)
 

@@ -84,7 +84,7 @@ def test_default_factors_budget(monkeypatch):
     assert plan_mod.default_factors(524288) == (4, 4, 256, 128)
     assert plan_mod.default_factors(1048576) == (8, 4, 256, 128)
     monkeypatch.setattr(plan_mod, "VMEM_BUDGET_MB", 48)
-    assert plan_mod.default_factors(524288) == (4, 512, 256)
+    assert plan_mod.default_factors(524288) == (8, 512, 128)
     assert plan_mod.default_factors(1048576) == (8, 512, 256)
     monkeypatch.setattr(plan_mod, "VMEM_BUDGET_MB", 100)
     assert plan_mod.default_factors(2097152) == (8, 512, 512)
