@@ -246,6 +246,9 @@ def _conv_kernel(
 
 
 _H_TILE = 8  # minimum channels per grid step in the fused-I/O kernels
+# Per-grid-step unroll budget for the fused-I/O kernels: (ht/g) iterations
+# x n1 rows each; see the compile-cost cap in _h_tile.
+_UNROLL_ROWS = 2048
 
 # Natural-I/O variants (in-kernel (L,) <-> Monarch relayout instead of an
 # XLA reshape) were built, measured, and REMOVED: see docs/DESIGN.md
@@ -279,6 +282,11 @@ def _h_tile(n1: int, n2: int, h: int) -> int | None:
     # allotment up to 4 MB — fewer, larger grid steps.
     scale = min(max(plan_mod.vmem_budget_mb() // 16, 1), 4)
     cap = max(g, _H_TILE, min(1024, (scale << 18) // n))
+    # Mosaic compile cost scales with the per-step unroll: ht/g chain
+    # iterations x n1 sublane rows each. Past ~2048 unroll-rows the remote
+    # compile helper dies (measured: (256,256) at ht=16 = 4096 rows crashes
+    # after ~160 s; 2048 rows compiles in 30-45 s), so cap the product.
+    cap = min(cap, max(g, g * (_UNROLL_ROWS // n1)))
     ht = cap - (cap % g)
     while ht >= g:
         if h % ht == 0:
