@@ -278,10 +278,12 @@ def _h_tile(n1: int, n2: int, h: int) -> int | None:
     # bf16): ht = 2^18/N. The old min(64, ...) clamp made N <= 2K blocks
     # tiny (64 KB at N=256) so per-grid-step dispatch/DMA latency dominated
     # the small-N kernels; the clamp now only guards the degenerate N < 256.
-    # A raised VMEM budget (plan.VMEM_BUDGET_MB) scales the per-block
-    # allotment up to 4 MB — fewer, larger grid steps.
-    scale = min(max(plan_mod.vmem_budget_mb() // 16, 1), 4)
-    cap = max(g, _H_TILE, min(1024, (scale << 18) // n))
+    # A raised VMEM budget could scale the per-block allotment, but the
+    # <=32K tiles are pinned at scale 1: those shapes are the hardware-
+    # verified record (tpu_parity.json, results_v5e_r4_mid.csv), MFU there
+    # is already 0.46-0.59, and bigger unrolls risk the compile-helper
+    # blowup below without measured gain.
+    cap = max(g, _H_TILE, min(1024, (1 << 18) // n))
     # Mosaic compile cost scales with the per-step unroll: ht/g chain
     # iterations x n1 sublane rows each. Past ~2048 unroll-rows the remote
     # compile helper dies (measured: (256,256) at ht=16 = 4096 rows crashes

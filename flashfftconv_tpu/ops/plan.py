@@ -87,9 +87,16 @@ def vmem_budget_mb() -> int:
 # with a fat complex inner). Sizes fall back to the conservative shapes
 # below the table when nothing is admitted (Mosaic's ~16 MB default cap).
 _LONG_CANDIDATES: dict[int, tuple[tuple[int, tuple[int, ...]], ...]] = {
+    # 512K/1M: single-pass fused 3-factor, gated fwd+bwd compiled and
+    # oracle-checked on-chip (tpu_factor_sweep.json): 512K (8,512,128)
+    # fwd 9.58 ms ratio 2.72 vs pipeline 12.26/3.40; 1M (8,512,256)
+    # 10.95/2.90 vs 11.13/3.29 ((16,512,128) is 8.85 ms but its first
+    # compile took ~30 min through the relay — not a sane default).
     524288: ((41, (8, 512, 128)), (32, (4, 512, 256))),
-    1048576: ((48, (8, 512, 256)), (43, (16, 512, 128))),
-    2097152: ((93, (8, 512, 512)), (80, (16, 512, 256))),
+    1048576: ((48, (8, 512, 256)),),
+    # 2M/4M: keep the 4-level pipeline — the measured 3-factor candidates
+    # LOSE on forward at 2M (9.31/7.34 ms vs 6.49) and their backward
+    # compiles crash the remote compile helper.
 }
 # Back-compat alias (round-3 name, still referenced by older notes).
 _LONG3_CANDIDATES = _LONG_CANDIDATES

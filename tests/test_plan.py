@@ -87,8 +87,9 @@ def test_default_factors_budget(monkeypatch):
     assert plan_mod.default_factors(524288) == (8, 512, 128)
     assert plan_mod.default_factors(1048576) == (8, 512, 256)
     monkeypatch.setattr(plan_mod, "VMEM_BUDGET_MB", 100)
-    assert plan_mod.default_factors(2097152) == (8, 512, 512)
-    # 4M never qualifies (smallest candidate ~157 MB unpacked+gated)
+    # 2M/4M keep the pipeline: the 2M single-pass candidates lose on
+    # forward and their backwards crash the compile helper (sweep record).
+    assert plan_mod.default_factors(2097152) == (16, 4, 256, 128)
     assert plan_mod.default_factors(4194304) == (32, 4, 256, 128)
 
 
