@@ -120,17 +120,15 @@ def supported(plan: FftPlan) -> bool:
         # up to 1024 (1.84 vs 2.05 ms at B=16/H=768/N=1024 on v5e).
         return plan.seqlen <= 1024
     if len(plan.factors) == 2:
-        if plan.seqlen < 256:
-            return False
-        if plan.seqlen <= MAX_FUSED_SEQLEN:
-            return True
-        # Big 2-factor plans (64K-256K as a single matmul-chain kernel, no
-        # outer butterfly at all) admit on the VMEM budget like the big
-        # 3-factor shapes; both stage matrices stay MXU-sized (<= 512).
-        return (
-            max(plan.factors) <= 512
-            and _fused2_vmem_mb(plan, gated=True) <= plan_mod.vmem_budget_mb()
-        )
+        # Big 2-factor plans past 32K (64K as one (256,256) fused-I/O
+        # kernel etc.) were measured on-chip and REJECTED: their gated
+        # forward compiles crash the remote compile helper at 64K/128K,
+        # and the 256K (512,512) forward that did compile loses to the
+        # fused 3-factor (5.8 vs 4.3 ms) with a backward that won't
+        # compile (benchmarks/tpu_factor_sweep.json). The kernels remain
+        # factor-generic (interpret-mode correct, _fused2_vmem_mb sizes
+        # them) if a future toolchain lifts the compile-size wall.
+        return 256 <= plan.seqlen <= MAX_FUSED_SEQLEN
     if len(plan.factors) == 3:
         f0, n1, n2 = plan.factors
         # Round-3 shapes (inner <= 32K, N <= 256K) fit Mosaic's default cap;

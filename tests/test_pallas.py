@@ -276,12 +276,14 @@ def test_long_bign1_512k(rng):
 @pytest.mark.slow
 @pytest.mark.parametrize("gated", [False, True])
 def test_big_2factor_path(rng, gated, monkeypatch):
-    """A big 2-factor plan — 64K as a single (256, 256) fused-I/O kernel,
-    no outer butterfly at all — through the full dispatch (fwd + all
-    grads). These shapes are budget-gated (monarch_pallas.supported's
-    _fused2_vmem_mb check); the budget is monkeypatched here so interpret
-    mode takes the same admission path the chip does."""
-    monkeypatch.setattr(plan_mod, "VMEM_BUDGET_MB", 100)
+    """The 2-factor kernels are factor-generic: 64K as a single (256, 256)
+    fused-I/O kernel (no outer butterfly) through full dispatch, fwd + all
+    grads. supported() does NOT admit these on TPU — the on-chip sweep
+    found the gated compiles crash the remote compile helper
+    (tpu_factor_sweep.json) — so the fused-seqlen cap is monkeypatched to
+    route dispatch here in interpret mode, preserving kernel generality
+    for a future toolchain."""
+    monkeypatch.setattr(mp, "MAX_FUSED_SEQLEN", 65536)
     seqlen = 65536
     plan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(256, 256))
     assert mp.supported(plan)
