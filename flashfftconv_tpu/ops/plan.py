@@ -87,6 +87,9 @@ def vmem_budget_mb() -> int:
 # with a fat complex inner). Sizes fall back to the conservative shapes
 # below the table when nothing is admitted (Mosaic's ~16 MB default cap).
 _LONG_CANDIDATES: dict[int, tuple[tuple[int, tuple[int, ...]], ...]] = {
+    # 64K: same forward as (2, 256, 128) but 14% faster fwd+bwd
+    # (8.23 vs 9.53 ms at B=2 H=384); fits the 16 MB default cap.
+    65536: ((0, (4, 128, 128)),),
     # 512K/1M: single-pass fused 3-factor, gated fwd+bwd compiled and
     # oracle-checked on-chip (tpu_factor_sweep.json): 512K (8,512,128)
     # fwd 9.58 ms ratio 2.72 vs pipeline 12.26/3.40; 1M (8,512,256)
@@ -95,8 +98,9 @@ _LONG_CANDIDATES: dict[int, tuple[tuple[int, tuple[int, ...]], ...]] = {
     524288: ((41, (8, 512, 128)), (32, (4, 512, 256))),
     1048576: ((48, (8, 512, 256)),),
     # 2M/4M: keep the 4-level pipeline — the measured 3-factor candidates
-    # LOSE on forward at 2M (9.31/7.34 ms vs 6.49) and their backward
-    # compiles crash the remote compile helper.
+    # LOSE on forward at 2M (9.31/7.34 ms vs 6.49ms and bwd compiles crash
+    # the remote helper), and the fat bigger-inner pipelines lose at 4M
+    # ((8,8,512,128): 18.2/61.8 vs the control's 12.9/46.0).
 }
 # Back-compat alias (round-3 name, still referenced by older notes).
 _LONG3_CANDIDATES = _LONG_CANDIDATES
