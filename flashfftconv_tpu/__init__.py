@@ -16,6 +16,16 @@ from flashfftconv_tpu.ops.sparse import frequency_sparse_fft_conv, partial_fft_c
 
 __version__ = "0.1.0"
 
+# Opt-in persistent XLA compilation cache: big Monarch kernels compile for
+# minutes through the TPU relay; set FLASHFFTCONV_COMPILE_CACHE=1 (or a
+# directory path) and every CLI/benchmark/example reruns from disk. No-op
+# when the env var is unset, so importing the library never mutates global
+# JAX config behind the user's back.
+from flashfftconv_tpu.utils.compile_cache import enable_compilation_cache as _ecc
+
+_ecc()
+del _ecc
+
 __all__ = [
     "FlashFFTConv",
     "FlashDepthWiseConv1d",

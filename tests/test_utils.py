@@ -308,3 +308,21 @@ def test_top_p_sampling_filters_tail(rng):
                               temperature=2.0, top_p=0.999)[0])
             for s in range(64)}
     assert len(seen) > 1
+
+
+def test_compile_cache_opt_in(tmp_path, monkeypatch):
+    """enable_compilation_cache: no-op when the env var is unset, sets the
+    jax config to the requested directory when given one explicitly."""
+    import jax
+    from flashfftconv_tpu.utils.compile_cache import enable_compilation_cache
+
+    monkeypatch.delenv("FLASHFFTCONV_COMPILE_CACHE", raising=False)
+    assert enable_compilation_cache() is False
+
+    cache_dir = str(tmp_path / "xla-cache")
+    assert enable_compilation_cache(cache_dir) is True
+    assert jax.config.jax_compilation_cache_dir == cache_dir
+    import os
+    assert os.path.isdir(cache_dir)
+    # restore: don't leak a tmp cache dir into later tests in this process
+    jax.config.update("jax_compilation_cache_dir", None)
