@@ -1,0 +1,94 @@
+"""Acceptance-target check over the committed benchmark artifacts.
+
+Encodes the round-3 verdict's "done" bars so they are machine-checkable
+against the CSVs of record rather than asserted in prose:
+
+  1. fftconv grid (results_v5e_r4_final.csv):
+       - forward MFU >= 0.25 at 512K-1M (plain conv rows)
+       - fwd_bwd/fwd <= 3.5 at 64K-1M (plain; gated reported alongside)
+       - speedup vs jnp.fft >= 4x at 32K-1M (BASELINE.json bar)
+  2. conv1d grid (results_conv1d_v5e_r4.csv):
+       - fwdbwd_speedup >= 1.0 on every row (else the default backward
+         must be the XLA one and the A/B CSV is the evidence)
+       - fwd_speedup >= 1.0 on every row
+
+Exit 0 when everything holds; prints a PASS/FAIL table either way.
+
+Run:  python benchmarks/check_targets.py [--fftconv CSV] [--conv1d CSV]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+HERE = os.path.dirname(__file__)
+
+
+def _read(path):
+    with open(path, newline="") as f:
+        return [
+            {k: (float(v) if v and v[0] in "0123456789.-" else v)
+             for k, v in row.items()}
+            for row in csv.DictReader(f)
+        ]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--fftconv",
+                   default=os.path.join(HERE, "results_v5e_r4_final.csv"))
+    p.add_argument("--conv1d",
+                   default=os.path.join(HERE, "results_conv1d_v5e_r4.csv"))
+    args = p.parse_args()
+
+    failures = []
+
+    def check(name, ok, detail):
+        print(f"{'PASS' if ok else 'FAIL'}  {name}: {detail}")
+        if not ok:
+            failures.append(name)
+
+    rows = _read(args.fftconv)
+    plain = {int(r["seqlen"]): r for r in rows if r["func"] == "conv"}
+    gated = {int(r["seqlen"]): r for r in rows if r["func"] == "gated conv"}
+
+    for n in (524288, 1048576):
+        if n in plain:
+            check(f"mfu@{n}", plain[n]["mfu"] >= 0.25,
+                  f"fwd MFU {plain[n]['mfu']:.3f} (target >= 0.25)")
+    for n in (65536, 131072, 262144, 524288, 1048576):
+        if n in plain and plain[n].get("fwd_bwd_ms"):
+            r = plain[n]["fwd_bwd_ms"] / plain[n]["fwd_ms"]
+            g = (gated[n]["fwd_bwd_ms"] / gated[n]["fwd_ms"]
+                 if n in gated else float("nan"))
+            check(f"bwd_ratio@{n}", r <= 3.5,
+                  f"fwd_bwd/fwd {r:.2f} plain / {g:.2f} gated (target <= 3.5 plain)")
+    for n in (32768, 65536, 131072, 262144, 524288, 1048576):
+        if n in gated and gated[n].get("speedup"):
+            check(f"speedup@{n}", gated[n]["speedup"] >= 4.0,
+                  f"gated fwd speedup {gated[n]['speedup']:.2f}x vs jnp.fft "
+                  "(BASELINE bar >= 4x)")
+
+    if os.path.exists(args.conv1d):
+        c1 = _read(args.conv1d)
+        worst_f = min(c1, key=lambda r: r["fwd_speedup"])
+        worst_b = min(c1, key=lambda r: r["fwdbwd_speedup"])
+        check("conv1d_fwd_all_rows", worst_f["fwd_speedup"] >= 1.0,
+              f"worst fwd {worst_f['fwd_speedup']:.2f}x @ "
+              f"(L={int(worst_f['L'])}, D={int(worst_f['D'])})")
+        check("conv1d_fwdbwd_all_rows", worst_b["fwdbwd_speedup"] >= 1.0,
+              f"worst fwd+bwd {worst_b['fwdbwd_speedup']:.2f}x @ "
+              f"(L={int(worst_b['L'])}, D={int(worst_b['D'])})")
+    else:
+        print(f"note: {args.conv1d} not present yet; conv1d checks skipped")
+
+    print(f"\n{len(failures)} target(s) failing" if failures
+          else "\nall targets met")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
