@@ -15,8 +15,11 @@ dtype.
 
 On TPU the XLA path below is already strong: a K-tap depthwise conv is K
 shifted axpys which XLA fuses into a few VPU passes. A Pallas kernel
-(`_pallas_depthwise`) covers the large-D/L regime where roll-based fusion
-wins over lax.conv's im2col.
+(`_pallas_depthwise`) covers the large-D regime where the fused strip pass
+wins over XLA's emitter for the INFERENCE forward; under differentiation the
+default mode runs the pure-XLA program on both sides — the measured
+bandwidth floor for training (see `_bwd_mode` for the on-chip A/B evidence
+and `FLASHFFTCONV_DW_BWD` to override).
 """
 
 from __future__ import annotations
@@ -483,6 +486,43 @@ def _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl):
     return du, dk_pad[:k], dk_pad[k]
 
 
+def _bwd_mode() -> str:
+    """Differentiation-path selection, read at trace time.
+
+      'xla' (default) — under differentiation BOTH the forward and the
+        backward run XLA's grouped conv: exactly the lax.conv AD program,
+        i.e. the measured bandwidth floor. The round-4 on-chip A/B
+        (results_conv1d_v5e_bwdconvs.csv vs the default run) showed every
+        Pallas-forward training combination LOSES to that floor — the fused
+        one-pass backward at 0.74-0.95x and the transposed-conv composite at
+        0.49-0.88x — because the Pallas forward pins x/dout to the default
+        {2,1,0} layout while XLA's depthwise emitter wants batch-in-sublanes
+        {2,0,1}, so everything downstream of a Pallas forward pays
+        full-tensor relayout copies. The inference forward (no grad) keeps
+        the Pallas kernel where it wins (see _pallas_profitable).
+      'fused' — Pallas forward + the fused one-pass Pallas backward
+        (du, dk, dbias from a single read of x/dout).
+      'convs' — Pallas forward + XLA transposed-conv composite
+        (FLASHFFTCONV_DW_BWD_CONVS=1 is a back-compat alias).
+    """
+    if os.environ.get("FLASHFFTCONV_DW_BWD_CONVS"):
+        return "convs"
+    mode = os.environ.get("FLASHFFTCONV_DW_BWD", "xla")
+    if mode not in ("xla", "fused", "convs"):
+        raise ValueError(f"FLASHFFTCONV_DW_BWD must be xla|fused|convs, got {mode!r}")
+    return mode
+
+
+def _pallas_profitable(d: int) -> bool:
+    """Auto-dispatch profitability gate for the (inference) forward.
+    MEASURED on v5e (results_conv1d_v5e*.csv, K=5, B=16, L 1K-8K): the Pallas
+    forward wins at D >= 1024 (1.1-1.4x) but loses at D=768 (0.59-0.91x —
+    XLA's emitter handles the 6-lane-tile channel count better than the
+    128-lane-tile grid). CPU/interpret keeps the Pallas path so the test
+    suite covers the kernels."""
+    return jax.default_backend() != "tpu" or d >= 1024
+
+
 def _pallas_ok(x, d, l, padding, k, is_bhl) -> bool:
     pl_, pr_ = (padding, padding) if isinstance(padding, int) else padding
     if d % _D_TILE != 0 or pl_ > k - 1 or pr_ > k - 1:
@@ -541,25 +581,36 @@ def depthwise_conv1d(
     )
     if impl == "pallas" and not use_pallas:
         raise ValueError("shape does not qualify for the Pallas depthwise path")
+    if impl == "auto" and use_pallas and not _pallas_profitable(d):
+        use_pallas = False
     if use_pallas:
-        return _dw_conv(x, w_kd, bias, padding, is_bhl, out_dtype)
+        return _dw_conv(x, w_kd, bias, padding, is_bhl, out_dtype, impl == "pallas")
     return _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _dw_conv(x, w_kd, bias, padding, is_bhl, out_dtype):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _dw_conv(x, w_kd, bias, padding, is_bhl, out_dtype, force):
     return _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype)
 
 
-def _dw_fwd(x, w_kd, bias, padding, is_bhl, out_dtype):
-    return _dw_conv(x, w_kd, bias, padding, is_bhl, out_dtype), (x, w_kd, bias)
+def _dw_fwd(x, w_kd, bias, padding, is_bhl, out_dtype, force):
+    # Under differentiation the default mode runs the XLA forward too:
+    # keeping the Pallas forward in the training graph forces relayout
+    # copies on every XLA op behind it (see _bwd_mode). impl='pallas'
+    # (force) pins the Pallas kernels regardless.
+    if _bwd_mode() == "xla" and not force and x.ndim == 3:
+        y = _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype)
+    else:
+        y = _pallas_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype)
+    return y, (x, w_kd, bias)
 
 
-def _dw_bwd(padding, is_bhl, out_dtype, res, dout):
+def _dw_bwd(padding, is_bhl, out_dtype, force, res, dout):
     """du via the same kernel with flipped weights (correlation); dk/dbias via
     XLA reductions — the {du, dk, dbias} triple of the reference's
-    conv1d_backward (csrc/flashfftconv/conv1d/conv1d.h:76-96). The 'same'-conv
-    case takes the fused one-pass kernel instead."""
+    conv1d_backward (csrc/flashfftconv/conv1d/conv1d.h:76-96). Mode selection
+    (xla floor / fused one-pass kernel / transposed-conv composite) is
+    documented at _bwd_mode."""
     x, w_kd, bias = res
     k = w_kd.shape[0]
     pl_, pr_ = (padding, padding) if isinstance(padding, int) else padding
@@ -573,14 +624,11 @@ def _dw_bwd(padding, is_bhl, out_dtype, res, dout):
             or l_bwd % _l_tile_bwd(is_bhl) == 0
         )
     )
-    if fused_ok and not os.environ.get("FLASHFFTCONV_DW_BWD_CONVS"):
-        # Default: the fused one-pass Pallas backward. Measured (interleaved
-        # min-of-4 on v5e, B=16, K=5) at 0.98-1.18x of XLA's grouped-conv AD
-        # while the transposed-conv composite sits at 0.69-0.84x — the Pallas
-        # forward pins x/dout to the default {2,1,0} layout, and XLA's
-        # depthwise conv emitter wants batch-in-sublanes {2,0,1}, so any
-        # XLA-conv backward behind the Pallas forward pays full-tensor
-        # relayout copies that AD of a pure-XLA forward never sees.
+    mode = _bwd_mode()
+    if force and mode == "xla":
+        # impl='pallas' pins the Pallas kernel family end to end.
+        mode = "fused"
+    if mode == "fused" and fused_ok:
         du_f, dw_f, dbias_f = _pallas_depthwise_bwd(x, dout, w_kd, padding, is_bhl)
         dbias = None if bias is None else dbias_f.astype(bias.dtype)
         return du_f.astype(x.dtype), dw_f.astype(w_kd.dtype), dbias

@@ -138,7 +138,11 @@ def test_pallas_path_forward(rng, is_bhl, k, pad):
 
 
 @pytest.mark.parametrize("is_bhl", [True, False])
-def test_pallas_path_grads(rng, is_bhl):
+def test_pallas_path_grads(rng, monkeypatch, is_bhl):
+    """FLASHFFTCONV_DW_BWD=fused keeps the Pallas forward under
+    differentiation and routes the backward through the fused one-pass
+    kernel (the default mode is the pure-XLA floor; see _bwd_mode)."""
+    monkeypatch.setenv("FLASHFFTCONV_DW_BWD", "fused")
     b, d, l, k, pad = 2, 128, 64, 5, 2
     w_dk = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
     bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
@@ -207,6 +211,7 @@ def test_pallas_tiled_long_l(rng, monkeypatch, is_bhl, k):
 def test_pallas_tiled_grads(rng, monkeypatch):
     from flashfftconv_tpu.ops import depthwise as dw
 
+    monkeypatch.setenv("FLASHFFTCONV_DW_BWD", "fused")
     monkeypatch.setattr(dw, "_L_TILE", 64)
     b, d, l, k, pad = 1, 128, 192, 5, 2
     x = jnp.asarray(rng.standard_normal((b, d, l)).astype(np.float32))
@@ -234,6 +239,7 @@ def test_fused_bwd_tiled(rng, monkeypatch, is_bhl, k):
     variant, matches AD of the reference conv: {du, dk, dbias} at once."""
     from flashfftconv_tpu.ops import depthwise as dw
 
+    monkeypatch.setenv("FLASHFFTCONV_DW_BWD", "fused")
     monkeypatch.setattr(dw, "_L_TILE", 64)
     monkeypatch.setattr(dw, "_l_tile_bwd", lambda is_bhl: 64)
     b, d, l, pad = 2, 128, 256, (k - 1) // 2
@@ -288,6 +294,43 @@ def test_conv_transpose_bwd_path(rng, monkeypatch, is_bhl):
 
     g = jax.grad(loss_mine, argnums=(0, 1, 2))(x, w, bias)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, bias)
+    for name, a, b_ in zip(["dx", "dw", "dbias"], g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-3, err_msg=f"{name} is_bhl={is_bhl}"
+        )
+
+
+@pytest.mark.parametrize("is_bhl", [True, False])
+def test_default_bwd_is_xla_floor(rng, is_bhl):
+    """Default mode ('xla'): under differentiation both the forward value
+    and the grads come from the XLA grouped conv — grads match the reference
+    AD and the primal value matches the no-grad (Pallas) forward."""
+    b, d, l, k, pad = 2, 128, 64, 5, 2
+    w_dk = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
+    if is_bhl:
+        x = jnp.asarray(rng.standard_normal((b, d, l)).astype(np.float32))
+        w = w_dk
+    else:
+        x = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+        w = w_dk.T
+
+    def loss_mine(x, w, bias):
+        return jnp.sum(depthwise_conv1d(x, w, bias, padding=pad, is_bhl=is_bhl) ** 2)
+
+    def loss_ref(x, w, bias):
+        xb = x if is_bhl else jnp.swapaxes(x, 1, 2)
+        wd = w if is_bhl else w.T
+        return jnp.sum(_ref_conv1d(xb, wd, bias, pad) ** 2)
+
+    (v, g) = jax.value_and_grad(loss_mine, argnums=(0, 1, 2))(x, w, bias)
+    (v_ref, g_ref) = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(x, w, bias)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-5)
+    # primal (no-grad) value agrees with the differentiated-forward value
+    y = depthwise_conv1d(x, w, bias, padding=pad, is_bhl=is_bhl)
+    np.testing.assert_allclose(
+        float(jnp.sum(y**2)), float(v), rtol=1e-5
+    )
     for name, a, b_ in zip(["dx", "dw", "dbias"], g, g_ref):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=1e-3, err_msg=f"{name} is_bhl={is_bhl}"
