@@ -47,6 +47,16 @@ run conv1d_r4_default 3600 python -u benchmarks/benchmark_conv1d.py \
 # 2. 1M plain-backward decomposition probe (the one failing ratio bar).
 run bwd1m_probe 3600 python -u benchmarks/tpu_bwd1m_probe.py
 
+# 2b. Small-N A/B: direct-DFT kernel (1-factor plans, now padded-capable)
+#     vs the 2-factor Monarch defaults at 256-1024.
+run smalln_direct 3600 python -u benchmarks/tpu_smalln_probe.py
+
+# 2c. Targeted factor sweep: small-N direct-vs-Monarch A/B (fwd+bwd) and
+#     untried 512K/1M shapes (the 0.25-MFU bar at 512K missed by 7% with
+#     the best TRIED plan; every shape oracle-checked).
+run factor_sweep_r4s7 14400 env FACTOR_SWEEP_SIZES=256,512,1024,524288,1048576 \
+  python -u benchmarks/tpu_factor_sweep.py
+
 # 3. Acceptance bars over the refreshed CSVs.
 run check_targets 600 python -u benchmarks/check_targets.py
 

@@ -34,11 +34,25 @@ OUT_PATH = os.path.join(os.path.dirname(__file__), "tpu_factor_sweep.json")
 # (f0, n1, n2) / (f00, f0, n1, n2) candidates per size; first entry is the
 # round-3 default shape (the control).
 CANDIDATES = {
+    # Small-N direct-vs-Monarch A/B (round-4 session 7): the small-N probe
+    # showed the 2-factor kernel at 256-512 runs 3.3-3.7x above the
+    # bandwidth floor (VPU-pass-bound); the 1-factor direct-DFT kernel has
+    # 2x the FLOPs but they are MXU-shaped. Sweeping fwd AND fwd+bwd (the
+    # direct backward is the general-path composite) decides DIRECT_MAX.
+    256: [(2, 128), (256,)],
+    512: [(4, 128), (512,)],
+    1024: [(8, 128), (1024,)],
     65536: [(2, 256, 128), (4, 128, 128), (256, 256)],
     131072: [(4, 256, 128), (2, 512, 128), (256, 512), (512, 256)],
     262144: [(8, 256, 128), (2, 512, 256), (4, 512, 128), (512, 512)],
-    524288: [(4, 4, 256, 128), (4, 512, 256), (8, 512, 128), (2, 1024, 256)],
-    1048576: [(8, 4, 256, 128), (8, 512, 256), (4, 1024, 256), (16, 512, 128)],
+    # round-4 session-7 additions: untried mid-f0 shapes — 512K's best tried
+    # plan (8,512,128) reads fwd MFU 0.234 vs the 0.25 bar, so sweep the
+    # (f0, 256, x) family too (bigger f0 amortizes the inner transforms over
+    # more MXU-outer bands; smaller inner tiles ease VMEM pressure).
+    524288: [(4, 4, 256, 128), (4, 512, 256), (8, 512, 128), (2, 1024, 256),
+             (16, 256, 128), (8, 256, 256)],
+    1048576: [(8, 4, 256, 128), (8, 512, 256), (4, 1024, 256), (16, 512, 128),
+              (16, 256, 256), (32, 256, 128)],
     2097152: [(16, 4, 256, 128), (8, 512, 512), (16, 512, 256), (32, 256, 256)],
     # 4M: no single-pass 3-factor shape fits the budget (best ~135 MB);
     # instead try fatter pipelines — bigger complex inner per butterfly.
@@ -49,6 +63,8 @@ CANDIDATES = {
 
 def set_b_h(seqlen: int) -> tuple[int, int]:
     # bench.py shapes (16 GB v5e caps)
+    if seqlen <= 2048:
+        return 16, 768  # the small-N probe / training-regime shape
     if seqlen <= 131072:
         return 2, 384
     if seqlen <= 524288:

@@ -105,6 +105,21 @@ def main():
                 (k, pre, post),
             ),
         }
+        if n <= 1024:
+            # A/B: the direct-DFT kernel (1-factor plan) vs the 2-factor
+            # Monarch above. The small-N Monarch kernel is VPU-pass-bound
+            # at 1.8-3.7x the bandwidth floor; the direct kernel has 2x
+            # FLOPs but they are MXU-shaped (rows, N) @ (N, N) matmuls.
+            from flashfftconv_tpu.ops.plan import make_plan
+            from flashfftconv_tpu.ops.dispatch import fft_conv
+
+            dplan = make_plan(n, factors=(n,))
+            variants["direct_full"] = (
+                lambda c, k, pre, post, dplan=dplan: fft_conv(
+                    dplan, c, k, pre, post
+                ),
+                (k, pre, post),
+            )
         for name, (body, rest) in variants.items():
             t = timeit(scanned(body), u, *rest) / SCAN_LEN
             print(json.dumps({"n": n, "variant": name,

@@ -454,13 +454,20 @@ def _direct_fused_io_tiles(
     signals (2 batch rows x 8 channels) form a (16, N) matrix and the whole
     conv is four (16, N) @ (N, N) MXU matmuls + the per-channel spectrum
     multiply — full-contraction matmuls beat the Monarch split at small N
-    (see plan.DIRECT_MAX). One HBM round trip, gates fused. Requires L == N,
-    even B, H % 8 == 0."""
-    b, h, n = u.shape
-    assert n == seqlen and h % ht == 0
+    (see plan.DIRECT_MAX). One HBM round trip, gates fused. Requires even B,
+    H % 8 == 0. L < N (the padded conv) is handled by the CALLER slicing the
+    DFT tables instead of zero-padding the signal: x_pad @ C == x @ C[:L]
+    and y_full[..., :L] == y @ IC[:, :L], so cre/cim arrive as (L, N) and
+    icre/icim as (N, L) and the kernel never materializes the pad."""
+    b, h, length = u.shape
+    n = seqlen
+    assert cre.shape == (length, n) and icre.shape == (n, length)
+    assert h % ht == 0
     grid = (h // ht, b // 2)
 
-    io_spec = pl.BlockSpec((2, ht, n), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM)
+    io_spec = pl.BlockSpec(
+        (2, ht, length), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+    )
     kf_spec = pl.BlockSpec((ht, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -487,7 +494,7 @@ def _direct_fused_io_tiles(
         x = u_ref[...]
         if pre_ref is not None:
             x = x * pre_ref[...]
-        x = x.reshape(2 * ht, n)
+        x = x.reshape(2 * ht, length)
         zre = mm(x, cre_ref[...])
         zim = mm(x, cim_ref[...])
         # per-channel spectrum, repeated for the two batch rows
@@ -495,7 +502,9 @@ def _direct_fused_io_tiles(
         kfi = jnp.broadcast_to(kfi_ref[...][None], (2, ht, n)).reshape(2 * ht, n)
         yre = zre * kfr - zim * kfi
         yim = zre * kfi + zim * kfr
-        out = (mm(yre, icre_ref[...]) - mm(yim, icim_ref[...])).reshape(2, ht, n)
+        out = (
+            mm(yre, icre_ref[...]) - mm(yim, icim_ref[...])
+        ).reshape(2, ht, length)
         if post_ref is not None:
             out = out * post_ref[...].astype(jnp.float32)
         o_ref[...] = out.astype(o_ref.dtype)
@@ -505,11 +514,11 @@ def _direct_fused_io_tiles(
         grid=grid,
         in_specs=in_specs,
         out_specs=io_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, n), u.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, length), u.dtype),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * n * n * 2,
-            bytes_accessed=b * h * n * (8 if gated else 4),
+            flops=4 * b * h * length * n * 2,
+            bytes_accessed=b * h * length * (8 if gated else 4),
             transcendentals=0,
         ),
     )(*inputs)
@@ -2087,20 +2096,23 @@ def _conv_raw(plan, u, kf_re, kf_im, pregate, postgate, out_dtype):
         ht = next((t for t in (64, 32, 16, 8) if u.ndim == 3 and u.shape[1] % t == 0), None)
         if (
             ht is not None
-            and length == plan.seqlen
+            and length % 128 == 0
             and u.shape[0] % 2 == 0
             and (both_gates or no_gates)
         ):
+            # L < N (padded conv): slice the DFT tables instead of padding
+            # the signal — x_pad @ C == x @ C[:L], y[..., :L] == y @ IC[:, :L]
+            # (length stays a lane-tile multiple for the MXU contraction).
             out = _direct_fused_io_tiles(
                 u.astype(io),
                 kf_re,
                 kf_im,
                 pregate.astype(io) if both_gates else None,
                 postgate.astype(io) if both_gates else None,
-                plan.dft_re[0].astype(cd),
-                plan.dft_im[0].astype(cd),
-                plan.idft_re[0].astype(cd),
-                plan.idft_im[0].astype(cd),
+                plan.dft_re[0][:length].astype(cd),
+                plan.dft_im[0][:length].astype(cd),
+                plan.idft_re[0][:, :length].astype(cd),
+                plan.idft_im[0][:, :length].astype(cd),
                 seqlen=plan.seqlen,
                 compute_dtype=plan.compute_dtype_name,
                 gated=both_gates,

@@ -117,8 +117,12 @@ def is_supported_seqlen(seqlen: int) -> bool:
 # lanes need N >= 256 for a 2-way split anyway). 256..1024 use the 2-way
 # split with channel-grouped block-diagonal stage-1 matmuls
 # (monarch_pallas._group_size), which keeps the MXU contraction depth at
-# 128 even though n1 < 128.
-DIRECT_MAX = 128
+# 128 even though n1 < 128. FLASHFFTCONV_DIRECT_MAX raises the direct
+# cutover for on-chip A/B: the small-N probe (tpu_smalln_probe.py, round 4)
+# showed the 2-factor kernel at 256-512 is VPU-pass-bound at 3.3-3.7x the
+# bandwidth floor, while the direct kernel's 2x FLOPs are MXU-shaped —
+# candidates for a flip if the sweep confirms.
+DIRECT_MAX = int(os.environ.get("FLASHFFTCONV_DIRECT_MAX", "128"))
 
 
 def default_factors(seqlen: int) -> tuple[int, ...]:

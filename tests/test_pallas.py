@@ -147,11 +147,36 @@ def test_direct_fused_io_path(rng, gated):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
-def test_direct_fused_io_padded_fallback(rng):
-    """L < N at single-factor sizes falls back to the XLA direct path."""
+@pytest.mark.parametrize("gated", [False, True])
+def test_direct_fused_io_padded(rng, gated):
+    """L < N on the direct-DFT kernel: the caller slices the DFT tables
+    (x_pad @ C == x @ C[:L]) so the pad is never materialized; grads flow
+    through the general-path backward."""
     seqlen = 512
-    plan = make_plan(seqlen, compute_dtype=jnp.float32)
-    u, k = _data(rng, 4, 16, seqlen // 2)
+    plan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(seqlen,))
+    data = _data(rng, 4, 16, seqlen // 2, gated=gated)
+    y = mp.fft_conv_pallas(plan, *data)
+    y_ref = fft_conv_reference(seqlen, *data)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    dout = jnp.asarray(rng.standard_normal(data[0].shape).astype(np.float32) * 0.02)
+    argnums = tuple(range(len(data)))
+    g = jax.grad(
+        lambda *a: jnp.sum(mp.fft_conv_pallas(plan, *a) * dout), argnums=argnums
+    )(*data)
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=argnums
+    )(*data)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_direct_padded_odd_length_fallback(rng):
+    """L not a lane-tile multiple at single-factor sizes falls back to the
+    XLA direct path (the kernel needs a 128-multiple MXU contraction)."""
+    seqlen = 512
+    plan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(seqlen,))
+    u, k = _data(rng, 4, 16, 300)
     y = mp.fft_conv_pallas(plan, u, k)
     y_ref = fft_conv_reference(seqlen, u, k)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
