@@ -44,8 +44,12 @@ fi
 run conv1d_r4_default 3600 python -u benchmarks/benchmark_conv1d.py \
   --csv benchmarks/results_conv1d_v5e_r4.csv
 
-# 2. 1M plain-backward decomposition probe (the one failing ratio bar).
+# 2. 1M plain-backward decomposition probe (the one failing ratio bar),
+#    then the mix-and-match A/B: forward keeps (8,512,256), backward runs
+#    under (16,512,128) via the new bwd-plan override.
 run bwd1m_probe 3600 python -u benchmarks/tpu_bwd1m_probe.py
+run bwd1m_override 7200 env FLASHFFTCONV_BWD_FACTORS=1048576:16,512,128 \
+  python -u benchmarks/tpu_bwd1m_probe.py
 
 # 2b. Small-N A/B: direct-DFT kernel (1-factor plans, now padded-capable)
 #     vs the 2-factor Monarch defaults at 256-1024.

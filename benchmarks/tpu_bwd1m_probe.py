@@ -36,7 +36,8 @@ from flashfftconv_tpu.ops.plan import get_plan
 from flashfftconv_tpu.ops import monarch_pallas as mp
 from flashfftconv_tpu.utils.benchmarking import benchmark_forward
 
-OUT = os.path.join(os.path.dirname(__file__), "tpu_bwd1m_probe.json")
+_SUFFIX = "_override" if os.environ.get("FLASHFFTCONV_BWD_FACTORS") else ""
+OUT = os.path.join(os.path.dirname(__file__), f"tpu_bwd1m_probe{_SUFFIX}.json")
 
 N = int(os.environ.get("BWD1M_N", 1048576))
 B = int(os.environ.get("BWD1M_B", 1))

@@ -35,6 +35,7 @@ conv.py:587-588).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -2828,6 +2829,45 @@ def _long4_bwd_fused(plan, u, k, pregate, postgate, dout, ug, g):
     return du, dk, dpre, dpost
 
 
+# Backward-only factorization overrides. The fused backward's live VMEM set
+# is ~2x the forward's at the same factors (two spectra Ug/G + the dk
+# accumulation block on top of the signal tiles), so the forward-optimal
+# factorization can sit past the backward's VMEM sweet spot: at 1M the
+# (8,512,256) plan has the fastest measured forward (6.4 ms plain, MFU
+# 0.365, results_v5e_r4_final.csv) but a 22.3 ms backward, while the sweep
+# measured (16,512,128)'s backward at ~16.5 ms (tpu_factor_sweep.json,
+# fwd_bwd - fwd). Correctness is factorization-independent — du and dk
+# leave the kernel in the time domain — so the backward may use its own
+# plan. Entries land here only after an on-chip sweep validates them;
+# FLASHFFTCONV_BWD_FACTORS="N:f0,n1,n2[;N:...]" overrides for A/B.
+_BWD_FACTORS_DEFAULT: dict[int, tuple[int, ...]] = {}
+
+
+@functools.lru_cache(maxsize=32)
+def _bwd_plan_cached(seqlen: int, compute_dtype_name: str,
+                     factors: tuple[int, ...]):
+    from flashfftconv_tpu.ops.plan import make_plan
+
+    return make_plan(seqlen, compute_dtype=jnp.dtype(compute_dtype_name),
+                     factors=factors)
+
+
+def _bwd_plan(plan):
+    """The plan the fused >=64K backward should run under (see
+    _BWD_FACTORS_DEFAULT); falls back to the forward plan unless the
+    override exists, differs, and passes the `supported` VMEM gates."""
+    table = dict(_BWD_FACTORS_DEFAULT)
+    for item in os.environ.get("FLASHFFTCONV_BWD_FACTORS", "").split(";"):
+        if ":" in item:
+            n_s, f_s = item.split(":")
+            table[int(n_s)] = tuple(int(x) for x in f_s.split(","))
+    f = table.get(plan.seqlen)
+    if not f or tuple(f) == tuple(plan.factors):
+        return plan
+    p2 = _bwd_plan_cached(plan.seqlen, plan.compute_dtype_name, tuple(f))
+    return p2 if len(p2.factors) in (3, 4) and supported(p2) else plan
+
+
 def _long_bwd_spectrum_reuse(plan, u, k, pregate, postgate, dout, ug, g):
     """Backward for long (3/4-factor, >=64K) plans with forward-spectrum
     reuse: ONE forward DFT each of ug = pre*u and g = post*dout serves all
@@ -2842,10 +2882,11 @@ def _long_bwd_spectrum_reuse(plan, u, k, pregate, postgate, dout, ug, g):
     path only serves 2-D (rows) inputs: 3-factor plans take the fully-fused
     single-kernel backward (_long_bwd_fused) and 4-factor plans the
     butterfly + fused-complex-inner pipeline (_long4_bwd_fused)."""
-    if len(plan.factors) == 3 and u.ndim == 3 and not _interpret():
-        return _long_bwd_fused(plan, u, k, pregate, postgate, dout, ug, g)
-    if len(plan.factors) == 4 and u.ndim == 3 and not _interpret():
-        return _long4_bwd_fused(plan, u, k, pregate, postgate, dout, ug, g)
+    if len(plan.factors) in (3, 4) and u.ndim == 3 and not _interpret():
+        bplan = _bwd_plan(plan)
+        if len(bplan.factors) == 3:
+            return _long_bwd_fused(bplan, u, k, pregate, postgate, dout, ug, g)
+        return _long4_bwd_fused(bplan, u, k, pregate, postgate, dout, ug, g)
     length = u.shape[-1]
     bh = u.shape[:-1]
     half = not _interpret()

@@ -356,6 +356,45 @@ def test_fat_4factor_path(rng, monkeypatch):
         )
 
 
+def test_bwd_plan_override(rng, monkeypatch):
+    """FLASHFFTCONV_BWD_FACTORS decouples the backward's factorization from
+    the forward plan's (the fused backward's live VMEM set is ~2x the
+    forward's, so the fwd-optimal shape can be past the bwd sweet spot).
+    Selection logic + gradient correctness under a different-factor plan."""
+    seqlen = 65536
+    plan = make_plan(seqlen, compute_dtype=jnp.float32)  # (4, 128, 128)
+
+    # no override -> same plan
+    assert mp._bwd_plan(plan) is plan
+    # env override -> different, supported plan of the same seqlen
+    monkeypatch.setenv("FLASHFFTCONV_BWD_FACTORS", "65536:2,256,128")
+    bplan = mp._bwd_plan(plan)
+    assert bplan.factors == (2, 256, 128) and bplan.seqlen == seqlen
+    # unsupported override (factors don't multiply to N) is rejected by
+    # make_plan; a wrong-seqlen key is ignored
+    monkeypatch.setenv("FLASHFFTCONV_BWD_FACTORS", "131072:2,512,128")
+    assert mp._bwd_plan(plan) is plan
+
+    # grads under the override plan (computed the way the TPU dispatch
+    # would: _long_bwd_fused on bplan while the forward ran on plan)
+    length = seqlen // 2
+    data = _data(rng, 2, 2, length, gated=True)
+    u, k, pre, post = data
+    dout = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32) * 0.02)
+    bplan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(2, 256, 128))
+    du, dk, dpre, dpost = mp._long_bwd_fused(
+        bplan, u, k, pre, post, dout, u * pre, dout * post
+    )
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout),
+        argnums=(0, 1, 2, 3),
+    )(*data)
+    for n, a, b in zip(["u", "k", "pre", "post"], [du, dk, dpre, dpost], g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{n}"
+        )
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("gated", [False, True])
 @pytest.mark.parametrize("padded", [False, True])
