@@ -1427,6 +1427,146 @@ def _bwd_fused_io_tiles(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("seqlen", "compute_dtype", "need_y", "ht", "gated"),
+)
+def _direct_bwd_fused_io_tiles(
+    u, g_, kf_re, kf_im, cre, cim, icre, icim,
+    seqlen, compute_dtype, need_y, ht, gated=False, pre=None, post=None,
+):
+    """Fully-fused direct-DFT backward (1-factor plans, N <= 1024): per grid
+    step, recompute U = x @ C and G = dout @ C (table-sliced for L < N, as
+    in the forward), emit du = (G * conj(K)) @ IC and optionally
+    y = (U * K) @ IC, and accumulate dk_f += sum_rows G * conj(U) across the
+    batch grid axis — ONE HBM round trip where the general-path composite
+    pays ~4 (y recompute, du conv, two dk transforms). gated=True takes raw
+    u/pre/dout/post and emits du/dpre/dpost directly, mirroring
+    _bwd_fused_io_tiles. cre/cim are (L, N); icre/icim are (N, L)."""
+    b, h, length = u.shape
+    n = seqlen
+    assert cre.shape == (length, n) and icre.shape == (n, length)
+    assert h % ht == 0 and b % 2 == 0
+    grid = (h // ht, b // 2)
+
+    io_spec = pl.BlockSpec(
+        (2, ht, length), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+    )
+    kf_spec = pl.BlockSpec((ht, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    row = jax.ShapeDtypeStruct((b, h, length), u.dtype)
+    n_rows = 3 if gated else (2 if need_y else 1)  # du[, dpre, dpost | y]
+    out_shape = [row] * n_rows
+    out_specs = [io_spec] * n_rows
+    out_shape += [jax.ShapeDtypeStruct((h, n), jnp.float32)] * 2
+    out_specs += [kf_spec, kf_spec]
+
+    def kernel(*refs):
+        i = 0
+        pre_ref = post_ref = None
+        if gated:
+            u_ref, pre_ref, g_ref, post_ref = refs[:4]; i = 4
+        else:
+            u_ref, g_ref = refs[:2]; i = 2
+        kfr_ref, kfi_ref = refs[i], refs[i + 1]; i += 2
+        cre_ref, cim_ref, icre_ref, icim_ref = refs[i:i + 4]; i += 4
+        outs = refs[i:]
+        dpre_ref = dpost_ref = y_ref = None
+        if gated:
+            du_ref, dpre_ref, dpost_ref, dkr, dki = outs
+        elif need_y:
+            du_ref, y_ref, dkr, dki = outs
+        else:
+            du_ref, dkr, dki = outs
+
+        def mm(a, bb):
+            return jnp.dot(
+                a.astype(compute_dtype), bb.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+
+        j = pl.program_id(1)
+
+        def load(ref, gate_ref):
+            x = ref[...]
+            if gate_ref is not None:
+                x = x * gate_ref[...]
+            return x.reshape(2 * ht, length)
+
+        x = load(u_ref, pre_ref if gated else None)
+        d = load(g_ref, post_ref if gated else None)
+        ure, uim = mm(x, cre_ref[...]), mm(x, cim_ref[...])
+        gre, gim = mm(d, cre_ref[...]), mm(d, cim_ref[...])
+
+        # dk_f += sum over the 2 batch rows of G * conj(U)
+        pr = (gre * ure + gim * uim).reshape(2, ht, n).sum(0)
+        pi = (gim * ure - gre * uim).reshape(2, ht, n).sum(0)
+
+        @pl.when(j == 0)
+        def _():
+            dkr[...] = pr
+            dki[...] = pi
+
+        @pl.when(j > 0)
+        def _():
+            dkr[...] += pr
+            dki[...] += pi
+
+        kfr = jnp.broadcast_to(kfr_ref[...][None], (2, ht, n)).reshape(2 * ht, n)
+        kfi = jnp.broadcast_to(kfi_ref[...][None], (2, ht, n)).reshape(2 * ht, n)
+        dre = gre * kfr + gim * kfi       # G * conj(K)
+        dim_ = gim * kfr - gre * kfi
+        du_inner = (
+            mm(dre, icre_ref[...]) - mm(dim_, icim_ref[...])
+        ).reshape(2, ht, length)
+        if gated:
+            y_inner = (
+                mm(ure * kfr - uim * kfi, icre_ref[...])
+                - mm(ure * kfi + uim * kfr, icim_ref[...])
+            ).reshape(2, ht, length)
+            du_ref[...] = (du_inner * pre_ref[...].astype(jnp.float32)).astype(
+                du_ref.dtype
+            )
+            dpre_ref[...] = (du_inner * u_ref[...].astype(jnp.float32)).astype(
+                dpre_ref.dtype
+            )
+            dpost_ref[...] = (y_inner * g_ref[...].astype(jnp.float32)).astype(
+                dpost_ref.dtype
+            )
+            return
+        du_ref[...] = du_inner.astype(du_ref.dtype)
+        if y_ref is not None:
+            y_ref[...] = (
+                mm(ure * kfr - uim * kfi, icre_ref[...])
+                - mm(ure * kfi + uim * kfr, icim_ref[...])
+            ).reshape(2, ht, length).astype(y_ref.dtype)
+
+    sig = [u, pre, g_, post] if gated else [u, g_]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[io_spec] * len(sig) + [kf_spec, kf_spec] + [small] * 4,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else _compiler_params(),
+        cost_estimate=pl.CostEstimate(
+            flops=(6 if need_y or gated else 6) * b * h * length * n * 2,
+            bytes_accessed=b * h * length * (8 if need_y or gated else 6),
+            transcendentals=0,
+        ),
+    )(*sig, kf_re, kf_im, cre, cim, icre, icim)
+    if gated:
+        du, dpre, dpost, dkr, dki = outs
+        return du, dpre, dpost, dkr, dki
+    if need_y:
+        du, y, dkr, dki = outs
+    else:
+        (du, dkr, dki), y = outs, None
+    return du, y, dkr, dki
+
+
+@functools.partial(
     jax.jit, static_argnames=("plan_factors", "compute_dtype", "need_y", "io_dtype")
 )
 def _bwd_tiles(
@@ -2975,6 +3115,51 @@ def _gated_bwd(plan_key, res, dout):
 
     kf_re, kf_im = _kernel_spectrum(plan, k, half=_use_half(plan, u))
     kfc_re, kfc_im = _kf_cast(plan, kf_re, kf_im)
+
+    if (
+        len(plan.factors) == 1
+        and u.ndim == 3
+        and length % 128 == 0
+        and u.shape[0] % 2 == 0
+    ):
+        ht = next((t for t in (64, 32, 16, 8) if u.shape[1] % t == 0), None)
+        if ht is not None:
+            # Fused direct-DFT backward (the 1-factor twin of the 2-factor
+            # fused-I/O backward): one HBM round trip for du/dpre/dpost +
+            # grid-accumulated dk_f, tables sliced for L < N as in the
+            # forward.
+            io = _io_dtype(plan, u.dtype)
+            cd = plan.compute_dtype
+            cre = plan.dft_re[0][:length].astype(cd)
+            cim = plan.dft_im[0][:length].astype(cd)
+            icre = plan.idft_re[0][:, :length].astype(cd)
+            icim = plan.idft_im[0][:, :length].astype(cd)
+            if pregate is not None:
+                du4, dpre4, dpost4, dkr, dki = _direct_bwd_fused_io_tiles(
+                    u.astype(io), dout.astype(io), kf_re, kf_im,
+                    cre, cim, icre, icim, seqlen=plan.seqlen,
+                    compute_dtype=plan.compute_dtype_name, need_y=True,
+                    ht=ht, gated=True,
+                    pre=pregate.astype(io), post=postgate.astype(io),
+                )
+                dk = _finish_dk(plan, dkr, dki, k)
+                return (
+                    du4.astype(u.dtype), dk,
+                    dpre4.astype(pregate.dtype),
+                    dpost4.astype(postgate.dtype),
+                )
+            du4, y4, dkr, dki = _direct_bwd_fused_io_tiles(
+                ug.astype(io), g.astype(io), kf_re, kf_im,
+                cre, cim, icre, icim, seqlen=plan.seqlen,
+                compute_dtype=plan.compute_dtype_name,
+                need_y=postgate is not None, ht=ht,
+            )
+            dk = _finish_dk(plan, dkr, dki, k)
+            du_inner = du4.astype(jnp.float32)
+            y_inner = None if y4 is None else y4.astype(jnp.float32)
+            du, dpre, dpost = _gate_finish(plan, u, pregate, postgate, dout,
+                                           du_inner, y_inner)
+            return du, dk, dpre, dpost
 
     small_n1 = plan.factors[0] < 16
     if (

@@ -171,6 +171,42 @@ def test_direct_fused_io_padded(rng, gated):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.parametrize("gated", [False, True])
+@pytest.mark.parametrize("padded", [False, True])
+def test_direct_bwd_fused(rng, monkeypatch, gated, padded):
+    """The fused direct-DFT backward (_direct_bwd_fused_io_tiles: du +
+    gate grads + grid-accumulated dk_f in one pallas_call) is dispatched
+    for qualifying 1-factor shapes and matches the oracle grads."""
+    calls = []
+    orig = mp._direct_bwd_fused_io_tiles
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mp, "_direct_bwd_fused_io_tiles", spy)
+    seqlen = 256
+    plan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(seqlen,))
+    length = seqlen // 2 if padded else seqlen
+    data = _data(rng, 4, 16, length, gated=gated)
+    dout = jnp.asarray(
+        rng.standard_normal(data[0].shape).astype(np.float32) * 0.02
+    )
+    argnums = tuple(range(len(data)))
+    g = jax.grad(
+        lambda *a: jnp.sum(mp.fft_conv_pallas(plan, *a) * dout), argnums=argnums
+    )(*data)
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=argnums
+    )(*data)
+    assert calls, "fused direct backward was not dispatched"
+    names = ["u", "k", "pre", "post"][: len(data)]
+    for n, a, b in zip(names, g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{n}"
+        )
+
+
 def test_direct_padded_odd_length_fallback(rng):
     """L not a lane-tile multiple at single-factor sizes falls back to the
     XLA direct path (the kernel needs a 128-multiple MXU contraction)."""
