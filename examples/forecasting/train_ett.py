@@ -179,6 +179,9 @@ def main():
                 tot += float(m["loss"])
             guard.track(state, extra={"epoch": epoch})
 
+            # Full batches only is fine for a regression metric, but never
+            # let the loop be empty (utils.train.evaluate rationale).
+            assert len(val_x) >= args.batch_size, "val split smaller than batch"
             mses, maes = [], []
             for i in range(0, len(val_x) - args.batch_size + 1, args.batch_size):
                 m = eval_step(state.params,

@@ -57,6 +57,10 @@ def get_args():
     p.add_argument("--impl", default="auto")
     p.add_argument("--remat", action="store_true",
                    help="gradient checkpointing per block (for 1M training)")
+    p.add_argument("--scan-blocks", action="store_true",
+                   help="lax.scan over blocks (stacked params): with --remat, "
+                   "bounds backward memory to one block at a time — required "
+                   "for the 1M train step on a 16 GB chip")
     p.add_argument("--log-file", default="", help="JSONL metrics artifact path")
     p.add_argument("--time-steps", action="store_true",
                    help="report per-step wall time (post-compile) when training")
@@ -113,6 +117,7 @@ def main():
         mixer="hyena",
         mixer_kwargs={"impl": args.impl, "filter_args": {"emb_dim": 5}},
         remat=args.remat,
+        scan_blocks=args.scan_blocks,
         dtype=jnp.bfloat16,
         pad_vocab_size_multiple=8,
     )

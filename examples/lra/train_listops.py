@@ -116,6 +116,7 @@ def main():
     from flashfftconv_tpu.utils.train import (
         auto_save_on_exception,
         create_train_state,
+        evaluate,
         make_eval_step,
         make_train_step,
         save_checkpoint,
@@ -182,16 +183,10 @@ def main():
                 tot_acc += float(metrics["accuracy"])
             guard.track(state, extra={"epoch": epoch, "acc": best_acc})
 
-            correct = total = 0
-            for i in range(0, len(val_x) - args.batch_size + 1, args.batch_size):
-                m = eval_step(
-                    state.params,
-                    (jnp.asarray(val_x[i : i + args.batch_size]),
-                     jnp.asarray(val_y[i : i + args.batch_size])),
-                )
-                correct += int(m["correct"])
-                total += int(m["total"])
-            acc = 100.0 * correct / max(total, 1)
+            correct, total = evaluate(
+                eval_step, state.params, (val_x, val_y), args.batch_size
+            )
+            acc = 100.0 * correct / total
             epoch_s = time.time() - t0
             print(
                 f"epoch {epoch}: train loss {tot_loss/steps_per_epoch:.3f} "

@@ -115,6 +115,7 @@ def main():
     from flashfftconv_tpu.utils.train import (
         auto_save_on_exception,
         create_train_state,
+        evaluate,
         save_checkpoint,
     )
 
@@ -181,11 +182,16 @@ def main():
 
     @jax.jit
     def eval_step(params, batch):
-        a, b, labels = batch
+        # (a, b, labels) or (a, b, labels, w) — w masks padded rows
+        # (utils.train.evaluate pads the final partial batch).
+        a, b, labels, *rest = batch
+        w = rest[0].astype(jnp.float32) if rest else jnp.ones(
+            labels.shape[0], jnp.float32)
         logits = model.apply({"params": params},
                              jnp.concatenate([a, b], axis=0))
         pred = jnp.argmax(logits, -1)
-        return {"correct": jnp.sum(pred == labels), "total": labels.shape[0]}
+        return {"correct": ((pred == labels).astype(jnp.float32) * w).sum(),
+                "total": w.sum()}
 
     data_rng = np.random.default_rng(args.seed)
     logger = MetricLogger(args.log_file) if args.log_file else None
@@ -205,16 +211,11 @@ def main():
                 tot_acc += float(m["acc"])
             guard.track(state, extra={"epoch": epoch, "acc": best_acc})
 
-            correct = total = 0
-            vx1, vx2, vy = x1[va], x2[va], y[va]
-            for i in range(0, len(vy) - args.batch_size + 1, args.batch_size):
-                m = eval_step(state.params,
-                              (jnp.asarray(vx1[i : i + args.batch_size]),
-                               jnp.asarray(vx2[i : i + args.batch_size]),
-                               jnp.asarray(vy[i : i + args.batch_size])))
-                correct += int(m["correct"])
-                total += int(m["total"])
-            acc = 100.0 * correct / max(total, 1)
+            correct, total = evaluate(
+                eval_step, state.params, (x1[va], x2[va], y[va]),
+                args.batch_size,
+            )
+            acc = 100.0 * correct / total
             epoch_s = time.time() - t0
             print(f"epoch {epoch}: train loss {tot_loss/steps_per_epoch:.3f} "
                   f"acc {100*tot_acc/steps_per_epoch:.2f}% | val acc {acc:.2f}% "

@@ -132,6 +132,13 @@ class Block(nn.Module):
         return res.astype(dtype), cache
 
 
+class BlockScanCell(Block):
+    """Block with a scan-compatible (carry, out) signature for nn.scan."""
+
+    def __call__(self, x, deterministic: bool = True):
+        return Block.__call__(self, x, deterministic), None
+
+
 class LMBackbone(nn.Module):
     d_model: int
     n_layer: int
@@ -148,6 +155,13 @@ class LMBackbone(nn.Module):
     # trains HyenaDNA under torch checkpoint wrappers — the ".mixer.layer"
     # key injection huggingface.py:28-46 is their artifact; here it is
     # jax.checkpoint, trading recompute for activation memory)
+    scan_blocks: bool = False  # lax.scan over blocks with stacked params:
+    # forces a strictly block-at-a-time backward so only the (B,L,D) carries
+    # stay live across layers. Per-block jax.checkpoint alone leaves XLA free
+    # to keep every block's MLP temporaries alive at once — the HyenaDNA-1M
+    # train step OOM'd that way (19.04G of 15.75G; .r4logs/hdna_1m_train.log)
+    # and fits under scan. Param tree: backbone/blocks/* with a leading
+    # n_layer axis (use utils.checkpoint_import.stack_block_params to convert).
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -160,18 +174,32 @@ class LMBackbone(nn.Module):
         x = nn.Dropout(rate=self.embed_dropout)(x, deterministic=deterministic)
         mixer_kwargs = dict(self.mixer_kwargs or {})
         mixer_kwargs.setdefault("l_max", self.l_max)
-        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
-        for i in range(self.n_layer):
-            x = block_cls(
-                d_model=self.d_model,
-                d_inner=self.d_inner,
-                mixer=self.mixer,
-                mixer_kwargs=mixer_kwargs,
-                resid_dropout=self.resid_dropout,
-                mlp_nblocks=self.mlp_nblocks,
-                moe_kwargs=self.moe_kwargs,
-                name=f"block_{i}",
-            )(x, deterministic)
+        block_fields = dict(
+            d_model=self.d_model,
+            d_inner=self.d_inner,
+            mixer=self.mixer,
+            mixer_kwargs=mixer_kwargs,
+            resid_dropout=self.resid_dropout,
+            mlp_nblocks=self.mlp_nblocks,
+            moe_kwargs=self.moe_kwargs,
+        )
+        if self.scan_blocks:
+            cell = BlockScanCell
+            if self.remat:
+                # prevent_cse=False: safe (and faster) inside lax.scan.
+                cell = nn.remat(cell, static_argnums=(2,), prevent_cse=False)
+            blocks = nn.scan(
+                cell,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
+                length=self.n_layer,
+            )(**block_fields, name="blocks")
+            x, _ = blocks(x, deterministic)
+        else:
+            block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
+            for i in range(self.n_layer):
+                x = block_cls(**block_fields, name=f"block_{i}")(x, deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
 
 
@@ -190,6 +218,7 @@ class ConvLMHeadModel(nn.Module):
     mlp_nblocks: int = 0
     moe_kwargs: dict | None = None
     remat: bool = False
+    scan_blocks: bool = False
     pad_vocab_size_multiple: int = 8
     dtype: Any = jnp.bfloat16
 
@@ -212,6 +241,7 @@ class ConvLMHeadModel(nn.Module):
             mlp_nblocks=self.mlp_nblocks,
             moe_kwargs=self.moe_kwargs,
             remat=self.remat,
+            scan_blocks=self.scan_blocks,
             dtype=self.dtype,
             name="backbone",
         )

@@ -80,10 +80,12 @@ def _fused3_vmem_mb(plan: FftPlan, packed: bool = True, gated: bool = True) -> f
 
 def _fused2_vmem_mb(plan: FftPlan, gated: bool = True, ht: int | None = None) -> float:
     """Upper-bound estimate of the fused-I/O 2-factor kernel's live VMEM
-    (MB) at seqlens past MAX_FUSED_SEQLEN, where admission is budget-gated
-    (the <=32K shapes all fit Mosaic's default cap and skip this). The
-    fused-I/O path always packs two batch rows per grid step; the kf planes
-    are blocked per h-tile; per-group chain temporaries are f32."""
+    (MB). Probe/test-only at HEAD: the big-2-factor admission it used to
+    gate was reverted after on-chip rejection (commit 9a2d1ba; the <=32K
+    shapes all fit Mosaic's default cap and skip budget gating), so nothing
+    in `supported()` calls this — kept for sweeps and the VMEM-budget tests.
+    The fused-I/O path always packs two batch rows per grid step; the kf
+    planes are blocked per h-tile; per-group chain temporaries are f32."""
     n1, n2 = plan.factors
     n = n1 * n2
     if ht is None:
@@ -1551,7 +1553,9 @@ def _direct_bwd_fused_io_tiles(
         interpret=_interpret(),
         compiler_params=None if _interpret() else _compiler_params(),
         cost_estimate=pl.CostEstimate(
-            flops=(6 if need_y or gated else 6) * b * h * length * n * 2,
+            # need_y/gated variants run 8 MXU matmuls per element (4 forward
+            # DFTs + the du pair + the y pair) vs 6 for the plain backward.
+            flops=(8 if need_y or gated else 6) * b * h * length * n * 2,
             bytes_accessed=b * h * length * (8 if need_y or gated else 6),
             transcendentals=0,
         ),
@@ -2998,9 +3002,26 @@ def _bwd_plan(plan):
     override exists, differs, and passes the `supported` VMEM gates."""
     table = dict(_BWD_FACTORS_DEFAULT)
     for item in os.environ.get("FLASHFFTCONV_BWD_FACTORS", "").split(";"):
-        if ":" in item:
-            n_s, f_s = item.split(":")
-            table[int(n_s)] = tuple(int(x) for x in f_s.split(","))
+        if ":" not in item:
+            continue
+        n_s, f_s = item.split(":", 1)
+        try:
+            n_val = int(n_s)
+            facs = tuple(int(x) for x in f_s.split(","))
+        except ValueError as e:
+            raise ValueError(
+                f"FLASHFFTCONV_BWD_FACTORS: cannot parse item {item!r} "
+                "(expected 'N:f0,f1,...[;N:...]')"
+            ) from e
+        prod = 1
+        for x in facs:
+            prod *= x
+        if prod != n_val:
+            raise ValueError(
+                f"FLASHFFTCONV_BWD_FACTORS: factors {facs} multiply to "
+                f"{prod}, not {n_val} (item {item!r})"
+            )
+        table[n_val] = facs
     f = table.get(plan.seqlen)
     if not f or tuple(f) == tuple(plan.factors):
         return plan

@@ -65,16 +65,23 @@ _CPU_DEFAULT_VMEM_MB = 16
 
 
 def vmem_budget_mb() -> int:
-    """The effective per-kernel VMEM budget (MB); see VMEM_BUDGET_MB."""
+    """The effective per-kernel VMEM budget (MB); see VMEM_BUDGET_MB.
+
+    The 100 MB TPU default was validated on v5e-class chips (128 MB physical
+    VMEM). Older generations (v2/v3, ~16 MB VMEM) get the conservative
+    default instead, so the budget-gated 512K/1M single-pass plans don't
+    fail to compile out of the box there; FLASHFFTCONV_VMEM_MB overrides."""
     if VMEM_BUDGET_MB is not None:
         return VMEM_BUDGET_MB
     import jax
 
-    return (
-        _TPU_DEFAULT_VMEM_MB
-        if jax.default_backend() == "tpu"
-        else _CPU_DEFAULT_VMEM_MB
-    )
+    if jax.default_backend() != "tpu":
+        return _CPU_DEFAULT_VMEM_MB
+    kind = getattr(jax.devices()[0], "device_kind", "") or ""
+    # v4/v5/v6/v7-class chips all carry >=128 MB VMEM per core; v2/v3 ~16 MB.
+    if any(old in kind.lower() for old in ("v2", "v3")):
+        return _CPU_DEFAULT_VMEM_MB
+    return _TPU_DEFAULT_VMEM_MB
 
 # Preferred factorizations for every long size (> MAX_INNER), in measured
 # preference order (on-chip autotune: benchmarks/tpu_factor_sweep.py /

@@ -782,3 +782,38 @@ def interpolate_pos_embedding(emb, out_seqlen: int, interleave: bool = False):
     grid = e.reshape(*e.shape[:-2], side, side, d)
     grid = np.repeat(np.repeat(grid, r, axis=-3), r, axis=-2)
     return grid.reshape(*e.shape[:-2], out_seqlen, d)
+
+
+def stack_block_params(params, n_layer: int):
+    """Convert a per-block param tree (backbone/block_{i}/...) into the
+    scan-over-blocks layout (backbone/blocks/... with a leading n_layer axis)
+    used when ``LMBackbone(scan_blocks=True)`` (models/lm.py).
+
+    Inverse direction: :func:`unstack_block_params`. Both let checkpoints
+    trained in one layout load into the other (the reference's analog is the
+    ``.mixer.layer`` key surgery in hyena-dna/huggingface.py:28-46 — here the
+    layouts differ by stacking, not naming).
+    """
+    import jax
+
+    bb = dict(params["backbone"])
+    blocks = [bb.pop(f"block_{i}") for i in range(n_layer)]
+    bb["blocks"] = jax.tree_util.tree_map(
+        lambda *xs: np.stack([_np(x) for x in xs]), *blocks
+    )
+    out = dict(params)
+    out["backbone"] = bb
+    return out
+
+
+def unstack_block_params(params, n_layer: int):
+    """Inverse of :func:`stack_block_params`."""
+    import jax
+
+    bb = dict(params["backbone"])
+    stacked = bb.pop("blocks")
+    for i in range(n_layer):
+        bb[f"block_{i}"] = jax.tree_util.tree_map(lambda x: _np(x)[i], stacked)
+    out = dict(params)
+    out["backbone"] = bb
+    return out

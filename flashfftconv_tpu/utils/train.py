@@ -74,16 +74,54 @@ def make_train_step(
 
 
 def make_eval_step(apply_fn: Callable):
+    """Classification eval step. ``batch`` is ``(x, y)`` or ``(x, y, w)``
+    where ``w`` is a 0/1 per-row weight masking padded rows out of the
+    counts (see :func:`evaluate`)."""
+
     def step(params, batch):
-        x, y = batch
+        x, y, *rest = batch
+        w = rest[0].astype(jnp.float32) if rest else jnp.ones(
+            y.shape[0], jnp.float32)
         logits = apply_fn({"params": params}, x, deterministic=True)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
         return {
-            "loss": cross_entropy_loss(logits, y),
-            "correct": (logits.argmax(-1) == y).sum(),
-            "total": jnp.asarray(y.shape[0]),
+            "loss": (nll * w).sum() / jnp.maximum(w.sum(), 1.0),
+            "correct": ((logits.argmax(-1) == y).astype(jnp.float32) * w).sum(),
+            "total": w.sum(),
         }
 
     return step
+
+
+def evaluate(eval_step, params, arrays, batch_size: int):
+    """Run ``eval_step`` over every row of ``arrays`` (a tuple of arrays
+    sharing their leading axis, e.g. ``(val_x, val_y)``), returning
+    ``(correct, total)``.
+
+    The final partial batch is padded to ``batch_size`` (no jit recompile)
+    with the pad rows masked out via the step's weight argument. Raises on an
+    empty split — the previous per-example ``range(0, n - bs + 1, bs)`` loops
+    silently evaluated NOTHING when the split was smaller than the batch and
+    logged 0% as a measurement (the round-4 listops artifact)."""
+    import numpy as np
+
+    n = len(arrays[-1])
+    if n == 0:
+        raise ValueError("evaluate(): empty eval split")
+    correct = total = 0.0
+    for i in range(0, n, batch_size):
+        rows = [np.asarray(a[i : i + batch_size]) for a in arrays]
+        w = np.ones(len(rows[-1]), np.float32)
+        if len(w) < batch_size:
+            pad = batch_size - len(w)
+            rows = [np.concatenate([r, np.repeat(r[:1], pad, axis=0)]) for r in rows]
+            w = np.concatenate([w, np.zeros(pad, np.float32)])
+        m = eval_step(params, tuple(jnp.asarray(r) for r in rows) + (jnp.asarray(w),))
+        correct += float(m["correct"])
+        total += float(m["total"])
+    assert total > 0, "evaluate(): zero rows counted"
+    return correct, total
 
 
 def save_checkpoint(path: str, state: TrainState, extra: dict | None = None):
