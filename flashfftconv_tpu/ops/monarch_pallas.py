@@ -251,6 +251,21 @@ _H_TILE = 8  # minimum channels per grid step in the fused-I/O kernels
 # x n1 rows each; see the compile-cost cap in _h_tile.
 _UNROLL_ROWS = 2048
 
+# The fused long kernels unroll their band loop in Python; past this many
+# unroll-rows (bands * n1) Mosaic compile time explodes and eventually the
+# remote compile helper dies (measured: 2M 3-factor forwards took 270-515 s
+# to compile and every 2M/4M 3-factor BACKWARD crashed the helper,
+# tpu_factor_sweep.json). Above the threshold the mxu-outer band loop runs
+# as an in-kernel lax.fori_loop over VMEM scratch instead: compile cost
+# becomes O(1) in bands. Defaults leave the hardware-verified <=1M unrolled
+# plans untouched ((8,512,256) = 2560 rows); override for A/B.
+_BAND_FORI_ROWS = int(os.environ.get("FLASHFFTCONV_BAND_FORI_ROWS", "4096"))
+
+
+def _fori_bands(f0: int, n1: int, bands: int) -> bool:
+    """True when the band loop should run as lax.fori_loop (see above)."""
+    return f0 >= _MXU_OUTER_MIN_F0 and bands * n1 >= _BAND_FORI_ROWS
+
 # Natural-I/O variants (in-kernel (L,) <-> Monarch relayout instead of an
 # XLA reshape) were built, measured, and REMOVED: see docs/DESIGN.md
 # "Measured alternatives" for the numbers (VPU lane->sublane shuffles lose
@@ -1664,6 +1679,7 @@ def _long_kernel(
     complex_io,
     has_pre=False,
     has_post=False,
+    fori=False,
 ):
     """Fully-fused long convolution for one (b, h): outer f0-point DFT
     (unrolled VPU multiply-adds — f0 <= 16), outer twiddle, per-chunk inner
@@ -1690,7 +1706,12 @@ def _long_kernel(
     if has_post:
         post_ref = refs[i]; i += 1
     o_ref = refs[i]; i += 1
-    oim_ref = refs[i] if complex_io else None
+    oim_ref = None
+    if complex_io:
+        oim_ref = refs[i]; i += 1
+    sr_scr = si_scr = zr_scr = zi_scr = None
+    if fori:  # VMEM scratch for the lax.fori_loop band path
+        sr_scr, si_scr, zr_scr, zi_scr = refs[i : i + 4]
 
     def mm(a, b):
         return jnp.dot(
@@ -1770,8 +1791,37 @@ def _long_kernel(
         sr, si = _mxu_outer_fwd(mm, c0_ref[...], s0_ref[...], fr, fi)
         spec_re = sr.reshape(bands, n1, n2)
         spec_im = si.reshape(bands, n1, n2)
+    zr = zi = None
+    if fori:
+        # Band loop as lax.fori_loop over VMEM scratch: one compiled body
+        # regardless of bands (the unrolled form crashes the compile helper
+        # past ~4096 bands*n1 rows; see _BAND_FORI_ROWS).
+        sr_scr[...] = spec_re
+        si_scr[...] = spec_im
+
+        def band_body(k0, carry):
+            xre = sr_scr[k0]
+            xim = si_scr[k0]
+            w0r_k = w0r_ref[0, k0]
+            w0i_k = w0i_ref[0, k0]
+            xre, xim = cmul(xre, xim, w0r_k, w0i_k)
+            rr, ri = cmm_l(f1r_m, f1i_m, f1s_m, xre, xim)
+            xre, xim = cmul(rr, ri, w1r_m, w1i_m)
+            rr, ri = cmm_r(xre, xim, f2r_m, f2i_m, f2s_m)
+            xre, xim = cmul(rr, ri, kfr_ref[0, k0], kfi_ref[0, k0])
+            rr, ri = cmm_r(xre, xim, if2r_m, if2i_m, if2s_m)
+            xre, xim = cmul(rr, ri, w1r_m, -w1i_m)
+            rr2, ri2 = cmm_l(if1r_m, if1i_m, if1s_m, xre, xim)
+            zre, zim = cmul(rr2, ri2, w0r_k, -w0i_k)
+            zr_scr[k0] = zre.astype(zr_scr.dtype)
+            zi_scr[k0] = zim.astype(zi_scr.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, bands, band_body, 0)
+        zr = zr_scr[...].reshape(bands, t)
+        zi = zi_scr[...].reshape(bands, t)
     zs = []
-    for k0 in range(bands):
+    for k0 in range(0 if fori else bands):
         if mxu_outer:
             acc_re, acc_im = spec_re[k0], spec_im[k0]
         else:
@@ -1810,8 +1860,9 @@ def _long_kernel(
     # ---- inverse outer DFT (carries 1/N via ic0/is0; with half-band
     # tables the weighted real-part sum reconstructs all f0 chunks) --------
     if mxu_outer:
-        zr = jnp.stack([z[0] for z in zs]).reshape(bands, t)
-        zi = jnp.stack([z[1] for z in zs]).reshape(bands, t)
+        if not fori:
+            zr = jnp.stack([z[0] for z in zs]).reshape(bands, t)
+            zi = jnp.stack([z[1] for z in zs]).reshape(bands, t)
         o_re, o_im = _mxu_outer_inv(
             mm, ic0_ref[...], is0_ref[...], zr, zi,
             want_imag=packed or complex_io,
@@ -1917,6 +1968,7 @@ def _long_tiles(
         out_shape.append(jax.ShapeDtypeStruct((b, h, f0, n1, n2), io_dtype))
         out_specs.append(tile)
 
+    fori = _fori_bands(f0, n1, bands)
     kernel = functools.partial(
         lambda *refs, **kw: _long_kernel(refs, **kw),
         f0=f0,
@@ -1925,6 +1977,17 @@ def _long_tiles(
         complex_io=complex_io,
         has_pre=pregate is not None,
         has_post=postgate is not None,
+        fori=fori,
+    )
+    scratch_shapes = (
+        [
+            pltpu.VMEM((bands, n1, n2), jnp.float32),  # spec re
+            pltpu.VMEM((bands, n1, n2), jnp.float32),  # spec im
+            pltpu.VMEM((bands, n1, n2), jnp.dtype(compute_dtype)),  # z re
+            pltpu.VMEM((bands, n1, n2), jnp.dtype(compute_dtype)),  # z im
+        ]
+        if fori
+        else []
     )
     inner_flops = 2 * (4 * n1 * n1 * n2 + 4 * n1 * n2 * n2 + 2 * n1 * n1 * n2)
     outs = pl.pallas_call(
@@ -1933,6 +1996,7 @@ def _long_tiles(
         in_specs=in_specs,
         out_specs=out_specs if complex_io else out_specs[0],
         out_shape=out_shape if complex_io else out_shape[0],
+        scratch_shapes=scratch_shapes,
         interpret=_interpret(),
         compiler_params=None if _interpret() else _compiler_params(),
         cost_estimate=pl.CostEstimate(
@@ -2453,7 +2517,7 @@ def _gated_fwd(plan_key, u, k, pregate, postgate):
 
 
 def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False,
-                     gated=False):
+                     gated=False, fori=False):
     """Fully-fused 3-factor backward for one (b, h): in ONE HBM round trip,
     recompute Ug = DFT(ug) and G = DFT(g) (outer half-band DFT + twiddle +
     2-way inner Monarch chain, as in _long_kernel), then emit
@@ -2503,7 +2567,14 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False,
         y_ref = refs[i]; i += 1
         if complex_io:
             yi_ref = refs[i]; i += 1
-    dkr_ref, dki_ref = refs[i], refs[i + 1]
+    dkr_ref, dki_ref = refs[i], refs[i + 1]; i += 2
+    ur_scr = ui_scr = gr_scr = gi_scr = None
+    zdur_scr = zdui_scr = zyr_scr = zyi_scr = None
+    if fori:  # VMEM scratch for the lax.fori_loop band path
+        ur_scr, ui_scr, gr_scr, gi_scr = refs[i : i + 4]; i += 4
+        zdur_scr, zdui_scr = refs[i : i + 2]; i += 2
+        if need_y:
+            zyr_scr, zyi_scr = refs[i : i + 2]
 
     def mm(a, b):
         return jnp.dot(
@@ -2589,8 +2660,55 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False,
         rr2, ri2 = cmm_l(if1r_m, if1i_m, if1s_m, xre, xim)
         return cmul(rr2, ri2, w0r_ref[0, k0], -w0i_ref[0, k0])
 
+    zdu_mat = zy_mat = None
+    if fori:
+        # Band loop as lax.fori_loop over VMEM scratch (see _BAND_FORI_ROWS):
+        # this is what lets the 2M/4M single-pass backwards compile at all —
+        # the unrolled form crashed the remote compile helper.
+        ur_scr[...] = uspec[0]
+        ui_scr[...] = uspec[1]
+        gr_scr[...] = gspec[0]
+        gi_scr[...] = gspec[1]
+
+        def band_body(k0, carry):
+            w0r_k, w0i_k = w0r_ref[0, k0], w0i_ref[0, k0]
+            ur_, ui_ = cmul(ur_scr[k0], ui_scr[k0], w0r_k, w0i_k)
+            gr_, gi_ = cmul(gr_scr[k0], gi_scr[k0], w0r_k, w0i_k)
+            ufr, ufi = fwd_inner(ur_, ui_)
+            gfr, gfi = fwd_inner(gr_, gi_)
+            pr = gfr * ufr + gfi * ufi
+            pi = gfi * ufr - gfr * ufi
+
+            @pl.when(j == 0)
+            def _():
+                dkr_ref[0, k0] = pr
+                dki_ref[0, k0] = pi
+
+            @pl.when(j > 0)
+            def _():
+                dkr_ref[0, k0] += pr
+                dki_ref[0, k0] += pi
+
+            kfr_k, kfi_k = kfr_ref[0, k0], kfi_ref[0, k0]
+            dre, dim_ = cmul(gfr, gfi, kfr_k, -kfi_k)
+            zre, zim = inv_inner(dre, dim_, k0)
+            zdur_scr[k0] = zre.astype(zdur_scr.dtype)
+            zdui_scr[k0] = zim.astype(zdui_scr.dtype)
+            if need_y:
+                yre, yim = cmul(ufr, ufi, kfr_k, kfi_k)
+                zre, zim = inv_inner(yre, yim, k0)
+                zyr_scr[k0] = zre.astype(zyr_scr.dtype)
+                zyi_scr[k0] = zim.astype(zyi_scr.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, bands, band_body, 0)
+        zdu_mat = (zdur_scr[...].reshape(bands, t),
+                   zdui_scr[...].reshape(bands, t))
+        if need_y:
+            zy_mat = (zyr_scr[...].reshape(bands, t),
+                      zyi_scr[...].reshape(bands, t))
     zs_du, zs_y = [], []
-    for k0 in range(bands):
+    for k0 in range(0 if fori else bands):
         if mxu_outer:
             u_ar, u_ai = uspec[0][k0], uspec[1][k0]
             g_ar, g_ai = gspec[0][k0], gspec[1][k0]
@@ -2645,9 +2763,12 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False,
     if mxu_outer:
         ic0m, is0m = ic0_ref[...], is0_ref[...]
 
-        def inv_block(z_pairs):
-            zr = jnp.stack([z[0] for z in z_pairs]).reshape(bands, t)
-            zi = jnp.stack([z[1] for z in z_pairs]).reshape(bands, t)
+        def inv_block(z_pairs, z_mat=None):
+            if z_mat is not None:
+                zr, zi = z_mat
+            else:
+                zr = jnp.stack([z[0] for z in z_pairs]).reshape(bands, t)
+                zi = jnp.stack([z[1] for z in z_pairs]).reshape(bands, t)
             o_re, o_im = _mxu_outer_inv(mm, ic0m, is0m, zr, zi,
                                         want_imag=complex_io)
             o_re = o_re.reshape(f0, n1, n2)
@@ -2656,22 +2777,22 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False,
         if gated:
             # fused gate products at store: du = du_inner*pre,
             # dpre = du_inner*u, dpost = y_inner*dout
-            du_inner, _ = inv_block(zs_du)
-            y_inner, _ = inv_block(zs_y)
+            du_inner, _ = inv_block(zs_du, zdu_mat)
+            y_inner, _ = inv_block(zs_y, zy_mat)
             du_ref[0, 0] = (du_inner * pre_ref[0, 0].astype(jnp.float32)).astype(du_ref.dtype)
             dpre_ref[0, 0] = (du_inner * u_ref[0, 0].astype(jnp.float32)).astype(dpre_ref.dtype)
             dpost_ref[0, 0] = (y_inner * dout_ref[0, 0].astype(jnp.float32)).astype(dpost_ref.dtype)
             return
 
-        def inv_store(z_pairs, re_ref_, im_ref_):
-            o_re, o_im = inv_block(z_pairs)
+        def inv_store(z_pairs, re_ref_, im_ref_, z_mat=None):
+            o_re, o_im = inv_block(z_pairs, z_mat)
             re_ref_[0, 0] = o_re.astype(re_ref_.dtype)
             if complex_io:
                 im_ref_[0, 0] = o_im.astype(im_ref_.dtype)
 
-        inv_store(zs_du, du_ref, dui_ref)
+        inv_store(zs_du, du_ref, dui_ref, zdu_mat)
         if need_y:
-            inv_store(zs_y, y_ref, yi_ref)
+            inv_store(zs_y, y_ref, yi_ref, zy_mat)
         return
     for c in range(f0):
         acc_d = acc_di = acc_y = acc_yi = None
@@ -2766,6 +2887,7 @@ def _long_bwd_tiles(
     out_shape += [jax.ShapeDtypeStruct((h, bands, n1, n2), jnp.float32)] * 2
     out_specs += [kf_spec, kf_spec]
 
+    fori = _fori_bands(f0, n1, bands)
     kernel = functools.partial(
         lambda *refs, **kw: _long_bwd_kernel(refs, **kw),
         f0=f0,
@@ -2773,7 +2895,15 @@ def _long_bwd_tiles(
         need_y=need_y or gated,
         complex_io=complex_io,
         gated=gated,
+        fori=fori,
     )
+    scratch_shapes = []
+    if fori:
+        spec = pltpu.VMEM((bands, n1, n2), jnp.float32)
+        zbuf = pltpu.VMEM((bands, n1, n2), jnp.dtype(compute_dtype))
+        scratch_shapes = [spec] * 4 + [zbuf] * 2  # u/g spectra + z_du
+        if need_y or gated:
+            scratch_shapes += [zbuf] * 2  # z_y
     inner_flops = 2 * (4 * n1 * n1 * n2 + 4 * n1 * n2 * n2 + 2 * n1 * n1 * n2)
     outs = pl.pallas_call(
         kernel,
@@ -2781,6 +2911,7 @@ def _long_bwd_tiles(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=_interpret(),
         compiler_params=None if _interpret() else _compiler_params(),
         cost_estimate=pl.CostEstimate(

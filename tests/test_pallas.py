@@ -493,3 +493,58 @@ def test_long4_bwd_fused(rng, gated, padded):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{n}"
         )
+
+
+@pytest.mark.parametrize("gated", [False, True])
+def test_long_fori_band_loop(rng, gated, monkeypatch):
+    """The lax.fori_loop band path (taken when bands*n1 >= _BAND_FORI_ROWS —
+    the 2M/4M single-pass shapes whose unrolled compiles crash the remote
+    helper): threshold forced to 0 so a small (8, 64, 128) plan runs the
+    loop variant; fwd + fused bwd must match the oracle exactly like the
+    unrolled path (test_long_mxu_outer_path)."""
+    monkeypatch.setattr(mp, "_BAND_FORI_ROWS", 1)
+    seqlen = 65536
+    plan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(8, 64, 128))
+    assert mp._fori_bands(plan.factors[0], plan.factors[1], 5)
+    length = seqlen // 2
+    data = _data(rng, 2, 2, length, gated=gated)
+    u, k = data[:2]
+    pre, post = (data[2], data[3]) if gated else (None, None)
+    y = mp.fft_conv_pallas(plan, *data)
+    y_ref = fft_conv_reference(seqlen, *data)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    dout = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32) * 0.02)
+    g = dout if post is None else dout * post
+    ug = u if pre is None else u * pre
+    du, dk, dpre, dpost = mp._long_bwd_fused(plan, u, k, pre, post, dout, ug, g)
+    argnums = tuple(range(len(data)))
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=argnums
+    )(*data)
+    got = [du, dk] + ([dpre, dpost] if gated else [])
+    for n, a, b in zip(["u", "k", "pre", "post"][: len(data)], got, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{n}"
+        )
+
+
+def test_long4_fori_band_loop(rng, monkeypatch):
+    """fori band path through the 4-factor pipeline's complex inner stage
+    (full-band tables, complex I/O rows)."""
+    monkeypatch.setattr(mp, "_BAND_FORI_ROWS", 1)
+    seqlen = 1048576
+    plan = make_plan(seqlen, compute_dtype=jnp.float32, factors=(4, 8, 128, 256))
+    length = seqlen // 2
+    u, k = _data(rng, 1, 2, length)
+    y = mp.fft_conv_pallas(plan, u, k)
+    y_ref = fft_conv_reference(seqlen, u, k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    dout = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32) * 0.02)
+    du, dk, _, _ = mp._long4_bwd_fused(plan, u, k, None, None, dout, u, dout)
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(fft_conv_reference(seqlen, *a) * dout), argnums=(0, 1)
+    )(u, k)
+    np.testing.assert_allclose(np.asarray(du), np.asarray(g_ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(g_ref[1]), atol=1e-4)
