@@ -98,10 +98,13 @@ def main():
             results = []
     # Relay/transport errors (remote_compile drops, broken pipes) are
     # transient — drop those rows on resume so they retry; keep rows that
-    # failed on a real numeric/compile error for the record.
-    # ("HTTP 500 ... compile_helper exit" is a real, repeatable compile
-    # failure — keep those rows as the record.)
-    transient = ("Broken pipe", "read body", "unreachable")
+    # failed on a real numeric error for the record. Compile-helper exits
+    # ("HTTP 500 ... tpu_compile_helper subprocess exit") were the
+    # band-unroll compile-size wall; the fori band loop (round 5,
+    # monarch_pallas._BAND_FORI_ROWS) addresses exactly those, so retry
+    # them too.
+    transient = ("Broken pipe", "read body", "unreachable",
+                 "tpu_compile_helper subprocess exit")
     results = [
         r for r in results
         if not any(t in r.get("error", "") for t in transient)

@@ -70,7 +70,7 @@ def _gen_tree(rng, depth: int, max_depth: int, max_args: int):
     return toks, _eval_op(op, vals)
 
 
-def build_dataset(n: int, l_max: int, seed: int, min_len: int = 96,
+def build_dataset(n: int, l_max: int, seed: int, min_len: int = 500,
                   max_depth: int = 10, max_args: int = 10):
     """n (x, y) pairs, x right-padded token ids of length l_max."""
     rng = np.random.default_rng(seed)
@@ -99,10 +99,14 @@ def get_args():
     p.add_argument("--kernel_lr", default=1e-3, type=float)
     p.add_argument("--kernel_lam", default=0.001, type=float)
     p.add_argument("--seed", default=0, type=int)
-    p.add_argument("--n-train", default=24000, type=int)
+    # LRA listops-1000 scale: 96K train / 2K val, lengths rejected to
+    # [min-len, l-max] (LRA uses [500, 2000]; l-max 2048 keeps the conv
+    # plan power-of-two).
+    p.add_argument("--n-train", default=96000, type=int)
     p.add_argument("--n-val", default=2000, type=int)
+    p.add_argument("--min-len", default=500, type=int)
     p.add_argument("--l-max", default=2048, type=int)
-    p.add_argument("--data-cache", default="examples/lra/data/listops.npz")
+    p.add_argument("--data-cache", default="examples/lra/data/listops_lra.npz")
     p.add_argument("--ckpt-dir", default="./checkpoint/listops")
     p.add_argument("--log-file", default="")
     return p.parse_args()
@@ -127,7 +131,8 @@ def main():
         x, y = z["x"], z["y"]
     else:
         t0 = time.time()
-        x, y = build_dataset(args.n_train + args.n_val, args.l_max, args.seed)
+        x, y = build_dataset(args.n_train + args.n_val, args.l_max, args.seed,
+                             min_len=args.min_len)
         os.makedirs(os.path.dirname(args.data_cache) or ".", exist_ok=True)
         np.savez_compressed(args.data_cache, x=x, y=y)
         print(f"generated {len(x)} sequences in {time.time()-t0:.0f}s", flush=True)

@@ -75,7 +75,12 @@ def _fused3_vmem_mb(plan: FftPlan, packed: bool = True, gated: bool = True) -> f
     zs = 2 * bands * t * 4                  # complex f32 band results
     tables = (4 * n1 * n1 + 4 * n2 * n2 + 2 * n1 * n2) * 4 * 1.5
     temps = 8 * t * 4                       # per-band matmul temporaries
-    return (blocks + gates + kf + w0 + xs + zs + tables + temps) / 2**20
+    # fori band-loop VMEM scratch (spec f32 + band results at io dtype);
+    # the backward's 4-spectra variant is ~2x this — the upper bound here
+    # covers the forward, and the bwd-heavy shapes are what the budget
+    # rejects first anyway.
+    scratch = (2 * 4 + 2 * io) * bands * t if _fori_bands(f0, n1, bands) else 0
+    return (blocks + gates + kf + w0 + xs + zs + tables + temps + scratch) / 2**20
 
 
 def _fused2_vmem_mb(plan: FftPlan, gated: bool = True, ht: int | None = None) -> float:

@@ -120,6 +120,32 @@ def benchmark_backward(fn: Callable, *args, argnums=(0,), repeats: int = 10,
                              desc=desc or "backward", verbose=verbose)
 
 
+def benchmark_backward_amortized(fn: Callable, *args, argnums=(0,),
+                                 length: int = 8, repeats: int = 10,
+                                 warmup: int = 2, desc: str = "",
+                                 verbose: bool = False):
+    """Per-call fwd+bwd wall-clock in ms with host dispatch amortized away:
+    grad of `length` serially-chained applications inside one jit (the
+    backward chains too), divided by `length` — the fwd+bwd analog of
+    benchmark_forward_amortized, and the per-call cost a training step pays
+    (sub-ms one-shot rows through the axon relay are timing noise)."""
+    def chained_loss(u, *rest):
+        def body(c, _):
+            out = fn(c, *rest)
+            return out.astype(u.dtype).reshape(u.shape), None
+
+        c, _ = jax.lax.scan(body, u, None, length=length)
+        return jnp.sum(c.astype(jnp.float32) ** 2)
+
+    g = jax.jit(jax.grad(chained_loss, argnums=argnums))
+    t = benchmark_forward(g, *args, repeats=repeats, warmup=warmup,
+                          desc=desc or "backward", verbose=False)
+    per_call = t / length
+    if verbose:
+        print(f"{desc}: {per_call:.3f} ms/call fwd+bwd (x{length} scan)")
+    return per_call
+
+
 def benchmark_memory(fn: Callable, *args, desc: str = "", verbose: bool = False):
     """Peak temporary + output memory of the compiled fn in MB (XLA's static
     memory analysis — the TPU analog of torch.cuda.max_memory_allocated)."""
