@@ -61,6 +61,14 @@ def get_args():
                    help="lax.scan over blocks (stacked params): with --remat, "
                    "bounds backward memory to one block at a time — required "
                    "for the 1M train step on a 16 GB chip")
+    p.add_argument("--conv-h-chunks", default=0, type=int,
+                   help="split the long conv into N sequential channel "
+                   "blocks (exact; bounds the backward's dk_f accumulator "
+                   "memory — use 4 for the 1M train step)")
+    p.add_argument("--short-filter-impl", default="",
+                   help="'pallas' pins the short filter to the Pallas "
+                   "kernels (dense layouts; the XLA conv backward pads "
+                   "B=1 temps 2x at 1M)")
     p.add_argument("--log-file", default="", help="JSONL metrics artifact path")
     p.add_argument("--time-steps", action="store_true",
                    help="report per-step wall time (post-compile) when training")
@@ -115,7 +123,9 @@ def main():
         vocab_size=len(DNA_VOCAB),
         l_max=args.l_max,
         mixer="hyena",
-        mixer_kwargs={"impl": args.impl, "filter_args": {"emb_dim": 5}},
+        mixer_kwargs={"impl": args.impl, "filter_args": {"emb_dim": 5},
+                      "conv_h_chunks": args.conv_h_chunks,
+                      "short_filter_impl": args.short_filter_impl or None},
         remat=args.remat,
         scan_blocks=args.scan_blocks,
         dtype=jnp.bfloat16,

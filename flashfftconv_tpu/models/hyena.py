@@ -72,6 +72,19 @@ class HyenaOperator(nn.Module):
     # trains at lengths no single chip can hold.
     seq_mesh: Any = None
     seq_axis: str = "sp"
+    # Short-filter dispatch override. None = 'xla' under sequence sharding,
+    # 'auto' otherwise. 'pallas' pins the Pallas kernel family end to end
+    # (fwd + fused one-pass bwd): at B=1/L=1M the XLA conv backward's
+    # batch-in-sublanes layout pads the (1, D, L) temps 2x (3 GB of pure
+    # padding in the r5 probe) — the Pallas path keeps dense layouts.
+    short_filter_impl: str | None = None
+    # Split the long conv into conv_h_chunks sequential channel blocks
+    # (lax.map — depthwise, so exact). Each chunk's backward finishes its
+    # dk_f accumulation before the next starts, bounding the live f32
+    # spectrum accumulators and kernel spectra to H/chunks channels — a
+    # memory lever for single-chip 1M-sequence training where those
+    # accumulators are GBs (see .r5logs/hdna_1m_train_scan.log).
+    conv_h_chunks: int = 0
 
     @nn.compact
     def __call__(self, u, deterministic: bool = True):
@@ -89,6 +102,15 @@ class HyenaOperator(nn.Module):
         else:
             plan = get_plan(seqlen, jnp.dtype(self.conv_dtype).name)
             conv = lambda x, k: dispatch.fft_conv(plan, x, k, impl=self.impl)
+        if self.conv_h_chunks > 1 and self.d_model % self.conv_h_chunks == 0:
+            base_conv, c = conv, self.conv_h_chunks
+
+            def conv(x, kk):  # noqa: F811 — chunked wrapper over base_conv
+                bsz, hh, ll = x.shape
+                xs = x.reshape(bsz, c, hh // c, ll).swapaxes(0, 1)
+                ks = kk.reshape(c, hh // c, kk.shape[-1])
+                ys = jax.lax.map(lambda ab: base_conv(ab[0], ab[1]), (xs, ks))
+                return ys.swapaxes(0, 1).reshape(bsz, hh, ll)
 
         inner = (self.order + 1) * self.d_model
         u = jnp.swapaxes(u, -1, -2)  # (B, D, L)
@@ -109,7 +131,8 @@ class HyenaOperator(nn.Module):
         x = ShortDepthwiseConv(
             inner, self.short_filter_order,
             padding=(self.short_filter_order - 1, 0),
-            impl="xla" if self.seq_mesh is not None else "auto",
+            impl=self.short_filter_impl
+            or ("xla" if self.seq_mesh is not None else "auto"),
             name="short_filter",
         )(x)[..., :l]
 

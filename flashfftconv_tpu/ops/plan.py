@@ -146,6 +146,31 @@ def default_factors(seqlen: int) -> tuple[int, ...]:
             f"seqlen {seqlen} not supported: must be a power of two in "
             f"[{MIN_SEQLEN}, {MAX_SEQLEN}]"
         )
+    # Per-size default-plan override for A/Bs without code edits, e.g.
+    # FLASHFFTCONV_FACTORS="2097152:16,512,256" (same syntax as
+    # FLASHFFTCONV_BWD_FACTORS; validated to multiply to N).
+    for item in os.environ.get("FLASHFFTCONV_FACTORS", "").split(";"):
+        if ":" not in item:
+            continue
+        n_s, f_s = item.split(":", 1)
+        try:
+            n_val = int(n_s)
+            facs = tuple(int(x) for x in f_s.split(","))
+        except ValueError as e:
+            raise ValueError(
+                f"FLASHFFTCONV_FACTORS: cannot parse item {item!r} "
+                "(expected 'N:f0,f1,...[;N:...]')"
+            ) from e
+        if n_val == seqlen:
+            prod = 1
+            for x in facs:
+                prod *= x
+            if prod != seqlen:
+                raise ValueError(
+                    f"FLASHFFTCONV_FACTORS: factors {facs} multiply to "
+                    f"{prod}, not {seqlen}"
+                )
+            return facs
     m = seqlen.bit_length() - 1
     if seqlen <= DIRECT_MAX:
         return (seqlen,)

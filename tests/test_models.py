@@ -743,3 +743,21 @@ def test_lm_scan_blocks_matches_loop(rng):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(rt)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hyena_conv_h_chunks_exact(rng):
+    """conv_h_chunks (sequential channel blocks via lax.map — the 1M-train
+    memory lever) must be EXACT: depthwise conv is independent per channel."""
+    u = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32) * 0.1)
+    kw = dict(d_model=D, l_max=L, conv_dtype=jnp.float32, impl="xla",
+              filter_args={"emb_dim": 5})
+    m0 = HyenaOperator(**kw)
+    m1 = HyenaOperator(**kw, conv_h_chunks=4)
+    p = m0.init(jax.random.PRNGKey(0), u)["params"]
+    y0 = m0.apply({"params": p}, u)
+    y1 = m1.apply({"params": p}, u)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+    g0 = jax.grad(lambda p: jnp.sum(m0.apply({"params": p}, u) ** 2))(p)
+    g1 = jax.grad(lambda p: jnp.sum(m1.apply({"params": p}, u) ** 2))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

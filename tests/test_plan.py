@@ -106,3 +106,19 @@ def test_use_half_budget_forcing(monkeypatch):
     assert mp._use_half(plan, x)        # packed+gated ~77 MB does not
     monkeypatch.setattr(plan_mod, "VMEM_BUDGET_MB", 100)
     assert not mp._use_half(plan, x)    # packed fits again
+
+
+def test_default_factors_env_override(monkeypatch):
+    """FLASHFFTCONV_FACTORS overrides the default plan per size (A/B lever);
+    bad products raise with the env var named."""
+    import pytest as _pytest
+
+    from flashfftconv_tpu.ops.plan import default_factors
+
+    monkeypatch.setenv("FLASHFFTCONV_FACTORS", "2048:8,256;4096:16,16,16")
+    assert default_factors(2048) == (8, 256)
+    assert default_factors(4096) == (16, 16, 16)
+    assert default_factors(1024) == (8, 128)  # untouched size
+    monkeypatch.setenv("FLASHFFTCONV_FACTORS", "2048:8,8")
+    with _pytest.raises(ValueError, match="FLASHFFTCONV_FACTORS"):
+        default_factors(2048)
