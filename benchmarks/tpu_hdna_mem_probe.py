@@ -42,8 +42,11 @@ def main():
         mixer="hyena",
         mixer_kwargs={"impl": "auto", "filter_args": {"emb_dim": 5},
                       "conv_h_chunks": int(os.environ.get("HDNA_MEM_HCHUNKS", "0")),
+                      "proj_l_chunks": int(os.environ.get("HDNA_MEM_PROJCHUNKS", "0")),
                       "short_filter_impl": os.environ.get("HDNA_MEM_SHORT") or None},
-        remat=True, scan_blocks=scan, dtype=jnp.bfloat16,
+        remat=True, scan_blocks=scan,
+        mlp_l_chunks=int(os.environ.get("HDNA_MEM_MLPCHUNKS", "0")),
+        dtype=jnp.bfloat16,
         pad_vocab_size_multiple=8,
     )
     ids = jnp.zeros((1, l_max), jnp.int32)

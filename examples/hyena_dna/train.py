@@ -65,6 +65,12 @@ def get_args():
                    help="split the long conv into N sequential channel "
                    "blocks (exact; bounds the backward's dk_f accumulator "
                    "memory — use 4 for the 1M train step)")
+    p.add_argument("--proj-l-chunks", default=0, type=int,
+                   help="L-chunked in_proj/short-filter/out_proj in the "
+                   "mixer (exact; use 8 for the 1M train step)")
+    p.add_argument("--mlp-l-chunks", default=0, type=int,
+                   help="L-chunked MLP (exact; bounds the 2 GB fc1 temp "
+                   "at 1M — use 8)")
     p.add_argument("--short-filter-impl", default="",
                    help="'pallas' pins the short filter to the Pallas "
                    "kernels (dense layouts; the XLA conv backward pads "
@@ -125,9 +131,11 @@ def main():
         mixer="hyena",
         mixer_kwargs={"impl": args.impl, "filter_args": {"emb_dim": 5},
                       "conv_h_chunks": args.conv_h_chunks,
+                      "proj_l_chunks": args.proj_l_chunks,
                       "short_filter_impl": args.short_filter_impl or None},
         remat=args.remat,
         scan_blocks=args.scan_blocks,
+        mlp_l_chunks=args.mlp_l_chunks,
         dtype=jnp.bfloat16,
         pad_vocab_size_multiple=8,
     )

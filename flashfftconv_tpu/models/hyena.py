@@ -85,6 +85,13 @@ class HyenaOperator(nn.Module):
     # memory lever for single-chip 1M-sequence training where those
     # accumulators are GBs (see .r5logs/hdna_1m_train_scan.log).
     conv_h_chunks: int = 0
+    # Chunk the pointwise projections over L (nn.scan + remat, exact): the
+    # in-projection -> short-filter segment (a K-1 halo carried between
+    # chunks keeps the causal conv exact) and the gate-multiply ->
+    # out-projection tail. At B=1/L=1M the unchunked segments hold multiple
+    # (B, 3D, L) bf16 tensors AND their cotangents across the conv backward
+    # (~6 GB of the mixer's 11.9 GB grad footprint, .r5logs/mem_parts.log).
+    proj_l_chunks: int = 0
 
     @nn.compact
     def __call__(self, u, deterministic: bool = True):
@@ -114,27 +121,61 @@ class HyenaOperator(nn.Module):
 
         inner = (self.order + 1) * self.d_model
         u = jnp.swapaxes(u, -1, -2)  # (B, D, L)
-        # In-projection without bias-add, pushed into the matmul like the
-        # reference (hyena-flashfft.py:337-339).
-        w_in = self.param(
-            "in_proj", nn.initializers.lecun_normal(), (inner, self.d_model)
+        ko = self.short_filter_order
+        sf_impl = self.short_filter_impl or (
+            "xla" if self.seq_mesh is not None else "auto"
         )
-        x = jnp.einsum("od,bdl->bol", w_in.astype(u.dtype), u)
-        if self.in_proj_bias:
-            b_in = self.param("in_proj_b", nn.initializers.zeros, (inner,))
-            x = x + b_in.astype(x.dtype)[None, :, None]
+        chunked = self.proj_l_chunks > 1 and l % self.proj_l_chunks == 0
+        if chunked:
+            # Scanned in_proj -> short-filter over L-chunks; the carry is the
+            # previous chunk's last K-1 in-projection columns, so the causal
+            # conv over [carry, chunk] with no padding equals the unchunked
+            # padding=(K-1, 0) conv exactly (zero carry = the left zero-pad).
+            c = self.proj_l_chunks
 
-        # Causal left-padding (K-1, 0): the reference builds this as
-        # Conv1d(padding=K-1) followed by [..., :l] truncation
-        # (hyena.py:273-303, hyenadna_standalone.py:257-279). A symmetric
-        # K//2 pad here would leak one future step into every position.
-        x = ShortDepthwiseConv(
-            inner, self.short_filter_order,
-            padding=(self.short_filter_order - 1, 0),
-            impl=self.short_filter_impl
-            or ("xla" if self.seq_mesh is not None else "auto"),
-            name="short_filter",
-        )(x)[..., :l]
+            def _seg_a(mdl, carry, u_c):  # u_c: (B, D, Lc)
+                w_in = mdl.param(
+                    "in_proj", nn.initializers.lecun_normal(),
+                    (inner, mdl.d_model),
+                )
+                x_c = jnp.einsum("od,bdl->bol", w_in.astype(u_c.dtype), u_c)
+                if mdl.in_proj_bias:
+                    b_in = mdl.param("in_proj_b", nn.initializers.zeros, (inner,))
+                    x_c = x_c + b_in.astype(x_c.dtype)[None, :, None]
+                xe = jnp.concatenate([carry.astype(x_c.dtype), x_c], axis=-1)
+                y_c = ShortDepthwiseConv(
+                    inner, ko, padding=(0, 0), impl=sf_impl, name="short_filter"
+                )(xe)
+                return xe[..., -(ko - 1):], y_c
+
+            carry0 = jnp.zeros((b, inner, ko - 1), u.dtype)
+            _, x = nn.scan(
+                nn.remat(_seg_a, prevent_cse=False),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=2,
+                out_axes=2,
+            )(self, carry0, u.reshape(b, d, c, l // c))
+            x = x.reshape(b, inner, l)
+        else:
+            # In-projection without bias-add, pushed into the matmul like the
+            # reference (hyena-flashfft.py:337-339).
+            w_in = self.param(
+                "in_proj", nn.initializers.lecun_normal(), (inner, self.d_model)
+            )
+            x = jnp.einsum("od,bdl->bol", w_in.astype(u.dtype), u)
+            if self.in_proj_bias:
+                b_in = self.param("in_proj_b", nn.initializers.zeros, (inner,))
+                x = x + b_in.astype(x.dtype)[None, :, None]
+
+            # Causal left-padding (K-1, 0): the reference builds this as
+            # Conv1d(padding=K-1) followed by [..., :l] truncation
+            # (hyena.py:273-303, hyenadna_standalone.py:257-279). A symmetric
+            # K//2 pad here would leak one future step into every position.
+            x = ShortDepthwiseConv(
+                inner, ko, padding=(ko - 1, 0), impl=sf_impl,
+                name="short_filter",
+            )(x)[..., :l]
 
         splits = jnp.split(x, self.order + 1, axis=1)
         *gates, v = splits
@@ -155,6 +196,24 @@ class HyenaOperator(nn.Module):
         for o, gate in enumerate(reversed(gates[1:])):
             v = nn.Dropout(rate=self.dropout)(v * gate, deterministic=deterministic)
             v = conv(v, k[o]) + bias[o][None, :, None] * v
+        if chunked:
+            # Scanned gate-multiply -> out-projection tail (pointwise in L).
+            def _seg_b(mdl, carry, vg):
+                y_c = jnp.swapaxes(vg[0] * vg[1], -1, -2)  # (B, Lc, D)
+                out_c = nn.Dense(mdl.d_model, dtype=y_c.dtype,
+                                 name="out_proj")(y_c)
+                return carry, out_c
+
+            c = self.proj_l_chunks
+            _, out = nn.scan(
+                nn.remat(_seg_b, prevent_cse=False),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=2,
+                out_axes=1,
+            )(self, 0, (v.reshape(b, d, c, l // c),
+                        gates[0].reshape(b, d, c, l // c)))
+            return out.reshape(b, l, self.d_model)
         y = v * gates[0]
 
         y = jnp.swapaxes(y, -1, -2)  # (B, L, D)

@@ -60,6 +60,30 @@ class Mlp(nn.Module):
         return dense(self.d_model, "fc2")(y)
 
 
+class MlpScanCell(Mlp):
+    """Mlp with a scan-compatible signature for the L-chunked wrapper."""
+
+    def __call__(self, carry, x):
+        return carry, Mlp.__call__(self, x)
+
+
+def chunked_mlp(l_chunks: int, name: str, **fields):
+    """An Mlp applied as lax.scan over l_chunks sequence chunks with remat:
+    pointwise over L, so exact, while bounding the live (B, Lc, d_inner)
+    activations to one chunk — the 1M-sequence memory lever (the full
+    (1, 1M, 1024) fc1 temp is 2 GB bf16). Params are broadcast (no leading
+    axis) so the tree matches the plain Mlp.
+
+    Call with x reshaped to (B, l_chunks, L // l_chunks, D)."""
+    return nn.scan(
+        nn.remat(MlpScanCell, prevent_cse=False),
+        variable_broadcast="params",
+        split_rngs={"params": False},
+        in_axes=1,
+        out_axes=1,
+    )(name=name, **fields)
+
+
 class Block(nn.Module):
     """Pre-norm block: LN -> mixer -> dropout -> +res; LN -> MLP -> dropout -> +res.
     Residuals carried in f32 (the reference's residual_in_fp32).
@@ -76,6 +100,7 @@ class Block(nn.Module):
     mlp_nblocks: int = 0
     moe_kwargs: dict | None = None
     mlp_activation: str = "gelu"  # "relu" for OPT (flash_attn/models/opt.py)
+    mlp_l_chunks: int = 0  # L-chunked MLP (see chunked_mlp)
 
     def setup(self):
         # setup-style (not nn.compact) so `step` can share the submodules
@@ -95,10 +120,12 @@ class Block(nn.Module):
             )
         else:
             act = {"gelu": nn.gelu, "relu": nn.relu}[self.mlp_activation]
-            self.mlp_mod = Mlp(
-                self.d_inner, self.d_model, nblocks=self.mlp_nblocks,
-                activation=act, name="mlp",
-            )
+            fields = dict(d_inner=self.d_inner, d_model=self.d_model,
+                          nblocks=self.mlp_nblocks, activation=act)
+            if self.mlp_l_chunks > 1:
+                self.mlp_mod = chunked_mlp(self.mlp_l_chunks, "mlp", **fields)
+            else:
+                self.mlp_mod = Mlp(name="mlp", **fields)
         self.drop = nn.Dropout(rate=self.resid_dropout)
 
     def __call__(self, x, deterministic: bool = True):
@@ -112,6 +139,11 @@ class Block(nn.Module):
         h = self.norm2(res).astype(dtype)
         if self.moe_kwargs:
             h = self.mlp_mod(h, deterministic=deterministic)
+        elif self.mlp_l_chunks > 1:
+            b_, l_, d_ = h.shape
+            c = self.mlp_l_chunks
+            _, hc = self.mlp_mod(0, h.reshape(b_, c, l_ // c, d_))
+            h = hc.reshape(b_, l_, d_)
         else:
             h = self.mlp_mod(h)
         h = self.drop(h, deterministic=deterministic)
@@ -150,6 +182,7 @@ class LMBackbone(nn.Module):
     embed_dropout: float = 0.1
     resid_dropout: float = 0.0
     mlp_nblocks: int = 0
+    mlp_l_chunks: int = 0
     moe_kwargs: dict | None = None
     remat: bool = False  # gradient checkpointing per block (the reference
     # trains HyenaDNA under torch checkpoint wrappers — the ".mixer.layer"
@@ -181,6 +214,7 @@ class LMBackbone(nn.Module):
             mixer_kwargs=mixer_kwargs,
             resid_dropout=self.resid_dropout,
             mlp_nblocks=self.mlp_nblocks,
+            mlp_l_chunks=self.mlp_l_chunks,
             moe_kwargs=self.moe_kwargs,
         )
         if self.scan_blocks:
@@ -216,6 +250,7 @@ class ConvLMHeadModel(nn.Module):
     embed_dropout: float = 0.1
     resid_dropout: float = 0.0
     mlp_nblocks: int = 0
+    mlp_l_chunks: int = 0
     moe_kwargs: dict | None = None
     remat: bool = False
     scan_blocks: bool = False
@@ -239,6 +274,7 @@ class ConvLMHeadModel(nn.Module):
             embed_dropout=self.embed_dropout,
             resid_dropout=self.resid_dropout,
             mlp_nblocks=self.mlp_nblocks,
+            mlp_l_chunks=self.mlp_l_chunks,
             moe_kwargs=self.moe_kwargs,
             remat=self.remat,
             scan_blocks=self.scan_blocks,

@@ -271,6 +271,11 @@ def _fori_bands(f0: int, n1: int, bands: int) -> bool:
     """True when the band loop should run as lax.fori_loop (see above)."""
     return f0 >= _MXU_OUTER_MIN_F0 and bands * n1 >= _BAND_FORI_ROWS
 
+
+# Largest N whose GATE-FUSED fused-3-factor backward fits physical VMEM
+# (see _long_bwd_fused); bigger plans apply gates as XLA passes.
+_GATED_BWD_MAX = int(os.environ.get("FLASHFFTCONV_GATED_BWD_MAX", str(1 << 20)))
+
 # Natural-I/O variants (in-kernel (L,) <-> Monarch relayout instead of an
 # XLA reshape) were built, measured, and REMOVED: see docs/DESIGN.md
 # "Measured alternatives" for the numbers (VPU lane->sublane shuffles lose
@@ -2670,10 +2675,10 @@ def _long_bwd_kernel(refs, *, f0, compute_dtype, need_y, complex_io=False,
         # Band loop as lax.fori_loop over VMEM scratch (see _BAND_FORI_ROWS):
         # this is what lets the 2M/4M single-pass backwards compile at all —
         # the unrolled form crashed the remote compile helper.
-        ur_scr[...] = uspec[0]
-        ui_scr[...] = uspec[1]
-        gr_scr[...] = gspec[0]
-        gi_scr[...] = gspec[1]
+        ur_scr[...] = uspec[0].astype(ur_scr.dtype)
+        ui_scr[...] = uspec[1].astype(ui_scr.dtype)
+        gr_scr[...] = gspec[0].astype(gr_scr.dtype)
+        gi_scr[...] = gspec[1].astype(gi_scr.dtype)
 
         def band_body(k0, carry):
             w0r_k, w0i_k = w0r_ref[0, k0], w0i_ref[0, k0]
@@ -2904,9 +2909,12 @@ def _long_bwd_tiles(
     )
     scratch_shapes = []
     if fori:
-        spec = pltpu.VMEM((bands, n1, n2), jnp.float32)
+        # Spectra staged at COMPUTE dtype (unlike the forward's f32): the
+        # backward carries 4 spectra + 2-4 z buffers and the gated 2M shapes
+        # measured 136.91M of 128M physical VMEM with f32 staging — the
+        # first matmul truncates to compute dtype anyway.
         zbuf = pltpu.VMEM((bands, n1, n2), jnp.dtype(compute_dtype))
-        scratch_shapes = [spec] * 4 + [zbuf] * 2  # u/g spectra + z_du
+        scratch_shapes = [zbuf] * 6  # u/g spectra + z_du
         if need_y or gated:
             scratch_shapes += [zbuf] * 2  # z_y
     inner_flops = 2 * (4 * n1 * n1 * n2 + 4 * n1 * n2 * n2 + 2 * n1 * n1 * n2)
@@ -2996,7 +3004,12 @@ def _long_bwd_fused(plan, u, k, pregate, postgate, dout, ug, g):
         return v.reshape(v.shape[0], v.shape[1], f0, n1, n2)
 
     b, h = u.shape[:2]
-    if pregate is not None:
+    # Gate fusion doubles the kernel's I/O windows (4 input + 3 output rows,
+    # double-buffered); at N = 2M that alone busts the 128 MB physical VMEM
+    # (measured 136.91M, .r5logs/bwd_fori_aot.log). Past the cap the gates
+    # run as XLA elementwise passes around the plain fused kernel instead
+    # (~4 extra HBM passes, <1 ms at 2M — vs not compiling at all).
+    if pregate is not None and n <= _GATED_BWD_MAX:
         # Gate-fused variant: raw u/pre/dout/post in, du/dpre/dpost out —
         # no XLA passes to form ug/g or to apply the gate products.
         du5, dpre5, dpost5, dkr, dki = _long_bwd_tiles(

@@ -761,3 +761,40 @@ def test_hyena_conv_h_chunks_exact(rng):
     g1 = jax.grad(lambda p: jnp.sum(m1.apply({"params": p}, u) ** 2))(p)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_hyena_proj_l_chunks_exact(rng):
+    """proj_l_chunks (scanned in_proj/short-filter with K-1 halo carry +
+    scanned out-proj tail) must be exact and keep the param tree identical."""
+    u = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32) * 0.1)
+    kw = dict(d_model=D, l_max=L, conv_dtype=jnp.float32, impl="xla",
+              filter_args={"emb_dim": 5})
+    m0 = HyenaOperator(**kw)
+    m1 = HyenaOperator(**kw, proj_l_chunks=4)
+    p = m0.init(jax.random.PRNGKey(0), u)["params"]
+    p1 = m1.init(jax.random.PRNGKey(0), u)["params"]
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply({"params": p}, u)),
+        np.asarray(m1.apply({"params": p}, u)), atol=1e-5)
+    g0 = jax.grad(lambda p: jnp.sum(m0.apply({"params": p}, u) ** 2))(p)
+    g1 = jax.grad(lambda p: jnp.sum(m1.apply({"params": p}, u) ** 2))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_lm_mlp_l_chunks_matches(rng):
+    """mlp_l_chunks: chunked MLP produces the same logits with the SAME
+    param tree (broadcast params, no leading scan axis)."""
+    vocab = 32
+    ids = jnp.asarray(rng.integers(0, vocab, (B, L)))
+    kw = dict(d_model=D, n_layer=2, d_inner=2 * D, vocab_size=vocab, l_max=L,
+              mixer="hyena", mixer_kwargs=KW, dtype=jnp.float32)
+    m0 = ConvLMHeadModel(**kw)
+    m1 = ConvLMHeadModel(**kw, mlp_l_chunks=4)
+    p = m0.init(jax.random.PRNGKey(0), ids)["params"]
+    p1 = m1.init(jax.random.PRNGKey(0), ids)["params"]
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply({"params": p}, ids)),
+        np.asarray(m1.apply({"params": p}, ids)), rtol=2e-5, atol=2e-5)
