@@ -167,7 +167,9 @@ def main():
         steps_per_epoch=steps_per_epoch,
     )
     state = create_train_state(params, tx)
-    apply = lambda p, xx, **kw: model.apply(p, embed(xx), **kw)
+    # Masked mean pool: PAD positions (~75% of listops-1000 rows) carry a
+    # constant feature that otherwise buries the pooled signal.
+    apply = lambda p, xx, **kw: model.apply(p, embed(xx), mask=(xx != PAD), **kw)
     train_step = jax.jit(make_train_step(apply, tx))
     eval_step = jax.jit(make_eval_step(apply))
     data_rng = np.random.default_rng(args.seed)

@@ -37,16 +37,39 @@ class ShortDepthwiseConv(nn.Module):
     impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x):  # x: (B, D, L)
+    def __call__(self, x, history=None):  # x: (B, D, L)
         w = self.param(
             "weights",
             nn.initializers.uniform(scale=2.0 / (self.channels**0.5)),
             (self.channels, self.kernel_size),
         )
         b = self.param("bias", nn.initializers.zeros, (self.channels,))
-        return depthwise_conv1d(
-            x, w, b, padding=self.padding, is_bhl=True, impl=self.impl
-        )
+        if history is None:
+            return depthwise_conv1d(
+                x, w, b, padding=self.padding, is_bhl=True, impl=self.impl
+            )
+        # Causal conv continuing from ``history`` — the last K-1 inputs of
+        # the previous L-chunk. Runs the zero-history causal conv on the
+        # chunk alone (so the chunk keeps the tileable shape the Pallas
+        # kernel wants — concat(carry, chunk) with valid padding does not
+        # qualify) and adds the missing cross-boundary terms to the first
+        # K-1 outputs: y[t] += sum_{j < K-1-t} w[j] * history[t+j].
+        k = self.kernel_size
+        y = depthwise_conv1d(
+            x, w, b, padding=(k - 1, 0), is_bhl=True, impl=self.impl
+        )[..., : x.shape[-1]]
+        corr = jnp.stack(
+            [
+                sum(
+                    w[:, j].astype(x.dtype)[None, :] * history[..., t + j]
+                    for j in range(k - 1 - t)
+                )
+                for t in range(k - 1)
+            ],
+            axis=-1,
+        )  # (B, D, K-1)
+        pad = [(0, 0)] * (y.ndim - 1) + [(0, y.shape[-1] - (k - 1))]
+        return y + jnp.pad(corr.astype(y.dtype), pad)
 
 
 class HyenaOperator(nn.Module):
@@ -142,11 +165,10 @@ class HyenaOperator(nn.Module):
                 if mdl.in_proj_bias:
                     b_in = mdl.param("in_proj_b", nn.initializers.zeros, (inner,))
                     x_c = x_c + b_in.astype(x_c.dtype)[None, :, None]
-                xe = jnp.concatenate([carry.astype(x_c.dtype), x_c], axis=-1)
                 y_c = ShortDepthwiseConv(
-                    inner, ko, padding=(0, 0), impl=sf_impl, name="short_filter"
-                )(xe)
-                return xe[..., -(ko - 1):], y_c
+                    inner, ko, impl=sf_impl, name="short_filter"
+                )(x_c, history=carry.astype(x_c.dtype))
+                return x_c[..., -(ko - 1):], y_c
 
             carry0 = jnp.zeros((b, inner, ko - 1), u.dtype)
             _, x = nn.scan(

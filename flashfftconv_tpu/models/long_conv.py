@@ -109,8 +109,13 @@ class LongConvModel(nn.Module):
     seq_axis: str = "sp"
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        # x: (B, L, d_input)
+    def __call__(self, x, deterministic: bool = True, mask=None):
+        # x: (B, L, d_input); mask: optional (B, L) bool/0-1 of valid
+        # positions — when given, the classification pool is a masked mean
+        # (the LRA convention for right-padded token tasks: with ~75% pad
+        # positions at listops-1000 scale an unmasked mean buries the
+        # sequence features under a constant pad component and the head
+        # sits at the class prior).
         x = nn.Dense(self.d_model, dtype=x.dtype, name="encoder")(x)
         x = jnp.swapaxes(x, -1, -2)  # (B, d_model, L)
 
@@ -142,7 +147,13 @@ class LongConvModel(nn.Module):
                 ).astype(z.dtype)
 
         x = jnp.swapaxes(x, -1, -2)  # (B, L, d_model)
-        x = x.mean(axis=1)
+        if mask is not None:
+            m = mask.astype(jnp.float32)[..., None]
+            x = (x.astype(jnp.float32) * m).sum(axis=1) / jnp.maximum(
+                m.sum(axis=1), 1.0
+            )
+        else:
+            x = x.mean(axis=1)
         return nn.Dense(self.d_output, dtype=jnp.float32, name="decoder")(x)
 
 

@@ -73,14 +73,23 @@ def _check(weights, bias, k):
         raise ValueError(f"bias shape {bias.shape} incompatible")
 
 
-def _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype):
+def _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype, use_conv=True):
     """Fallback path: grouped lax.conv for 3D inputs (XLA's depthwise conv is
     near bandwidth-bound on TPU for large strips), K shifted multiply-adds
-    otherwise."""
+    otherwise.
+
+    use_conv=False (impl='shifts') forces the tap-loop form for 3D inputs
+    too: K padded-slice multiply-adds that XLA fuses into one elementwise
+    pass, with an equally fusable AD. Exact same math as the grouped conv,
+    but with NO convolution op in the graph — which matters at small batch:
+    XLA's conv on (1, D, L) picks a batch-in-sublanes layout whose T(2,128)
+    tiles are 2x padding (a pure-waste 3 GB temp at D=768/L=1M in the
+    HyenaDNA-1M backward, .r5logs/mem_probe_fused.log), while the shift form
+    keeps every tensor in the natural dense layout."""
     if isinstance(padding, int):
         padding = (padding, padding)
     k, d = w_kd.shape
-    if x.ndim == 3:
+    if x.ndim == 3 and use_conv:
         dn = ("NCH", "OIH", "NCH") if is_bhl else ("NHC", "OIH", "NHC")
         # Matching operand dtypes keep the AD transpose of the conv valid
         # (preferred_element_type would make the cotangent dtype mismatch).
@@ -513,14 +522,16 @@ def _bwd_mode() -> str:
     return mode
 
 
-def _pallas_profitable(d: int) -> bool:
+def _pallas_profitable(d: int, l: int) -> bool:
     """Auto-dispatch profitability gate for the (inference) forward.
-    MEASURED on v5e (results_conv1d_v5e*.csv, K=5, B=16, L 1K-8K): the Pallas
-    forward wins at D >= 1024 (1.1-1.4x) but loses at D=768 (0.59-0.91x —
-    XLA's emitter handles the 6-lane-tile channel count better than the
-    128-lane-tile grid). CPU/interpret keeps the Pallas path so the test
-    suite covers the kernels."""
-    return jax.default_backend() != "tpu" or d >= 1024
+    MEASURED on v5e (results_conv1d_v5e_r4.csv — scan-amortized timing, K=5,
+    B=16, L 1K-8K): the Pallas forward wins 1.1-1.9x at D >= 1024 once the
+    strip is big enough (L*D >= 4M elements), but loses or ties below that
+    ((1024, 2048) 0.78x, (2048, 1024) 0.98x) and always loses at D=768
+    (0.59-0.91x — XLA's emitter handles the 6-lane-tile channel count
+    better than the 128-lane-tile grid). CPU/interpret keeps the Pallas
+    path so the test suite covers the kernels."""
+    return jax.default_backend() != "tpu" or (d >= 1024 and l * d >= 4 * 2**20)
 
 
 def _pallas_ok(x, d, l, padding, k, is_bhl) -> bool:
@@ -554,10 +565,12 @@ def depthwise_conv1d(
         length L + left + right - K + 1. Causal convs use (K-1, 0), the
         semantics of the reference models' Conv1d(padding=K-1) + [..., :L]
         truncation (hyena.py:273-303).
-      impl: 'auto' (Pallas when the shape qualifies), 'pallas', or 'xla'
+      impl: 'auto' (Pallas when the shape qualifies), 'pallas', 'xla'
         (grouped lax.conv — the right choice under GSPMD sequence sharding,
         where XLA inserts the halo exchange; a pallas_call would force a
-        full gather instead).
+        full gather instead), or 'shifts' (K fused padded-slice
+        multiply-adds, no conv op: the dense-layout choice at small batch
+        where XLA's conv layouts pad 2x — see _xla_depthwise).
     """
     if is_bhl:
         d, k = weights.shape
@@ -574,14 +587,18 @@ def depthwise_conv1d(
         padding = (int(padding[0]), int(padding[1]))
     out_dtype = x.dtype
 
-    if impl not in ("auto", "pallas", "xla"):
+    if impl not in ("auto", "pallas", "xla", "shifts"):
         raise ValueError(f"unknown impl {impl!r}")
+    if impl == "shifts":
+        return _xla_depthwise(
+            x, w_kd, bias, padding, is_bhl, out_dtype, use_conv=False
+        )
     use_pallas = (
         impl != "xla" and x.ndim == 3 and _pallas_ok(x, d, l, padding, k, is_bhl)
     )
     if impl == "pallas" and not use_pallas:
         raise ValueError("shape does not qualify for the Pallas depthwise path")
-    if impl == "auto" and use_pallas and not _pallas_profitable(d):
+    if impl == "auto" and use_pallas and not _pallas_profitable(d, l):
         use_pallas = False
     if use_pallas:
         return _dw_conv(x, w_kd, bias, padding, is_bhl, out_dtype, impl == "pallas")

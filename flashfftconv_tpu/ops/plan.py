@@ -99,15 +99,20 @@ _LONG_CANDIDATES: dict[int, tuple[tuple[int, tuple[int, ...]], ...]] = {
     65536: ((0, (4, 128, 128)),),
     # 512K/1M: single-pass fused 3-factor, gated fwd+bwd compiled and
     # oracle-checked on-chip (tpu_factor_sweep.json): 512K (8,512,128)
-    # fwd 9.58 ms ratio 2.72 vs pipeline 12.26/3.40; 1M (8,512,256)
-    # 10.95/2.90 vs 11.13/3.29 ((16,512,128) is 8.85 ms but its first
-    # compile took ~30 min through the relay — not a sane default).
+    # fwd 9.58 ms ratio 2.72 vs pipeline 12.26/3.40; 1M (16,512,128)
+    # fwd 8.85 ms fwd_bwd 25.32 vs (8,512,256) 10.95/31.74. (16,512,128)
+    # unrolled took ~30 min to compile in round 4; the fori band loop
+    # (_BAND_FORI_ROWS) brings it to 68 s (.r5logs/aot_1m16_4m.log).
     524288: ((41, (8, 512, 128)), (32, (4, 512, 256))),
-    1048576: ((48, (8, 512, 256)),),
-    # 2M/4M: keep the 4-level pipeline — the measured 3-factor candidates
-    # LOSE on forward at 2M (9.31/7.34 ms vs 6.49ms and bwd compiles crash
-    # the remote helper), and the fat bigger-inner pipelines lose at 4M
+    1048576: ((49, (16, 512, 128)), (48, (8, 512, 256))),
+    # 2M: single-pass (32,256,256) — fwd 5.70 ms vs the pipeline's 6.86
+    # (tpu_factor_sweep.json); its backward crashed the compile helper in
+    # round 4 but compiles at HEAD in 178 s / 0.52 G temp with the fori
+    # band loop (.r5logs/bwd2m_aot_head.log). 4M: (64,256,256) backward
+    # also compiles now (89 s); pending on-chip timing the pipeline stays
+    # the 4M default — the fat bigger-inner pipelines lose at 4M
     # ((8,8,512,128): 18.2/61.8 vs the control's 12.9/46.0).
+    2097152: ((84, (32, 256, 256)),),
 }
 # Back-compat alias (round-3 name, still referenced by older notes).
 _LONG3_CANDIDATES = _LONG_CANDIDATES

@@ -97,6 +97,35 @@ def test_backward(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
 
 
+@pytest.mark.parametrize("is_bhl", [True, False])
+@pytest.mark.parametrize("pad", [(2, 0), 1, (0, 2)])
+def test_shifts_impl_matches_xla(rng, is_bhl, pad):
+    """impl='shifts' (tap-loop, no conv op) must match the grouped-conv XLA
+    path exactly — forward and all three grads."""
+    b, d, l, k = 2, 8, 64, 3
+    shape = (b, d, l) if is_bhl else (b, l, d)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((d, k) if is_bhl else (k, d)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
+
+    def loss(impl):
+        return lambda x, w, bias: jnp.sum(
+            depthwise_conv1d(x, w, bias, padding=pad, is_bhl=is_bhl, impl=impl) ** 2
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(depthwise_conv1d(x, w, bias, padding=pad, is_bhl=is_bhl,
+                                    impl="shifts")),
+        np.asarray(depthwise_conv1d(x, w, bias, padding=pad, is_bhl=is_bhl,
+                                    impl="xla")),
+        atol=1e-5,
+    )
+    g_s = jax.grad(loss("shifts"), argnums=(0, 1, 2))(x, w, bias)
+    g_x = jax.grad(loss("xla"), argnums=(0, 1, 2))(x, w, bias)
+    for a, b_ in zip(g_s, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
+
+
 def test_even_kernel_raises(rng):
     x = jnp.ones((1, 4, 16))
     w = jnp.ones((4, 4))

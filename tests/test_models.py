@@ -783,6 +783,28 @@ def test_hyena_proj_l_chunks_exact(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+def test_hyena_proj_l_chunks_pallas_short_filter(rng):
+    """proj_l_chunks + short_filter_impl='pallas' (the HyenaDNA-1M memory
+    config): the chunk-local causal Pallas conv plus the explicit K-1
+    cross-boundary correction must equal the unchunked operator exactly.
+    Shapes are picked so the Pallas path genuinely qualifies (inner=3*128
+    divisible by the 128-lane tile; 2048-long chunks fit one L-tile)."""
+    d, l = 128, 4096
+    u = jnp.asarray(rng.standard_normal((1, l, d)).astype(np.float32) * 0.1)
+    kw = dict(d_model=d, l_max=l, conv_dtype=jnp.float32, impl="xla",
+              filter_args={"emb_dim": 5})
+    m0 = HyenaOperator(**kw)
+    m1 = HyenaOperator(**kw, proj_l_chunks=2, short_filter_impl="pallas")
+    p = m0.init(jax.random.PRNGKey(0), u)["params"]
+    np.testing.assert_allclose(
+        np.asarray(m0.apply({"params": p}, u)),
+        np.asarray(m1.apply({"params": p}, u)), atol=2e-5)
+    g0 = jax.grad(lambda p: jnp.mean(m0.apply({"params": p}, u) ** 2))(p)
+    g1 = jax.grad(lambda p: jnp.mean(m1.apply({"params": p}, u) ** 2))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_lm_mlp_l_chunks_matches(rng):
     """mlp_l_chunks: chunked MLP produces the same logits with the SAME
     param tree (broadcast params, no leading scan axis)."""
