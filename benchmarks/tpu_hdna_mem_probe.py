@@ -46,6 +46,7 @@ def main():
                       "short_filter_impl": os.environ.get("HDNA_MEM_SHORT") or None},
         remat=True, scan_blocks=scan,
         mlp_l_chunks=int(os.environ.get("HDNA_MEM_MLPCHUNKS", "0")),
+        residual_f32=os.environ.get("HDNA_MEM_RES32", "1") == "1",
         dtype=jnp.bfloat16,
         pad_vocab_size_multiple=8,
     )
@@ -71,7 +72,14 @@ def main():
     print(f"compiling train step: L={l_max} scan={scan} layers={n_layer} "
           f"DW_BWD={os.environ.get('FLASHFFTCONV_DW_BWD', 'xla')} "
           f"FACTORS={os.environ.get('FLASHFFTCONV_FACTORS', '')}", flush=True)
-    compiled = jax.jit(step_fn).lower(state, ids, y).compile()
+    opts = {}
+    if os.environ.get("HDNA_MEM_NO_LHS") == "1":
+        # The latency-hiding scheduler overlaps ops at the cost of longer
+        # buffer lifetimes; a memory-minimizing schedule can cut the peak
+        # by GBs on a barely-fitting step (at some throughput cost).
+        opts["xla_tpu_enable_latency_hiding_scheduler"] = "false"
+    compiled = (jax.jit(step_fn).lower(state, ids, y)
+                .compile(compiler_options=opts or None))
     a = compiled.memory_analysis()
     tot = (a.temp_size_in_bytes + a.output_size_in_bytes
            + a.argument_size_in_bytes) / 2**30

@@ -72,9 +72,14 @@ def get_args():
                    help="L-chunked MLP (exact; bounds the 2 GB fc1 temp "
                    "at 1M — use 8)")
     p.add_argument("--short-filter-impl", default="",
-                   help="'pallas' pins the short filter to the Pallas "
-                   "kernels (dense layouts; the XLA conv backward pads "
-                   "B=1 temps 2x at 1M)")
+                   help="'shifts' = K fused padded-slice multiply-adds "
+                   "(dense layouts at B=1 — the XLA conv backward pads "
+                   "(1,D,L) temps 2x at 1M); 'pallas' pins the Pallas "
+                   "kernels")
+    p.add_argument("--bf16-residual", action="store_true",
+                   help="carry the residual stream in bf16 instead of f32 "
+                   "(halves the per-block residual/cotangent memory at 1M; "
+                   "the reference's residual_in_fp32 also defaults off)")
     p.add_argument("--log-file", default="", help="JSONL metrics artifact path")
     p.add_argument("--time-steps", action="store_true",
                    help="report per-step wall time (post-compile) when training")
@@ -136,6 +141,7 @@ def main():
         remat=args.remat,
         scan_blocks=args.scan_blocks,
         mlp_l_chunks=args.mlp_l_chunks,
+        residual_f32=not args.bf16_residual,
         dtype=jnp.bfloat16,
         pad_vocab_size_multiple=8,
     )

@@ -86,7 +86,11 @@ def chunked_mlp(l_chunks: int, name: str, **fields):
 
 class Block(nn.Module):
     """Pre-norm block: LN -> mixer -> dropout -> +res; LN -> MLP -> dropout -> +res.
-    Residuals carried in f32 (the reference's residual_in_fp32).
+    Residuals carried in f32 (the reference's residual_in_fp32) unless
+    residual_f32=False — the memory lever for single-chip 1M-sequence
+    training, where each live f32 (B, L, D) residual/cotangent pair costs
+    2 GB that bf16 halves (the reference exposes the same choice:
+    residual_in_fp32 defaults False in its create_block).
 
     `moe_kwargs` (e.g. {"n_experts": 8, "top_k": 2, "ep_axis": "ep"}) swaps
     the dense MLP for a mixture-of-experts FFN (models.moe.MoEMlp) — a
@@ -101,6 +105,7 @@ class Block(nn.Module):
     moe_kwargs: dict | None = None
     mlp_activation: str = "gelu"  # "relu" for OPT (flash_attn/models/opt.py)
     mlp_l_chunks: int = 0  # L-chunked MLP (see chunked_mlp)
+    residual_f32: bool = True
 
     def setup(self):
         # setup-style (not nn.compact) so `step` can share the submodules
@@ -130,11 +135,11 @@ class Block(nn.Module):
 
     def __call__(self, x, deterministic: bool = True):
         dtype = x.dtype
-        res = x.astype(jnp.float32)
+        res = x.astype(jnp.float32) if self.residual_f32 else x
         h = self.norm1(res).astype(dtype)
         h = self.mixer_mod(h, deterministic=deterministic)
         h = self.drop(h, deterministic=deterministic)
-        res = res + h.astype(jnp.float32)
+        res = res + h.astype(res.dtype)
 
         h = self.norm2(res).astype(dtype)
         if self.moe_kwargs:
@@ -147,7 +152,7 @@ class Block(nn.Module):
         else:
             h = self.mlp_mod(h)
         h = self.drop(h, deterministic=deterministic)
-        res = res + h.astype(jnp.float32)
+        res = res + h.astype(res.dtype)
         return res.astype(dtype)
 
     def step(self, x_t, cache, pos):
@@ -183,6 +188,7 @@ class LMBackbone(nn.Module):
     resid_dropout: float = 0.0
     mlp_nblocks: int = 0
     mlp_l_chunks: int = 0
+    residual_f32: bool = True  # see Block.residual_f32
     moe_kwargs: dict | None = None
     remat: bool = False  # gradient checkpointing per block (the reference
     # trains HyenaDNA under torch checkpoint wrappers — the ".mixer.layer"
@@ -215,6 +221,7 @@ class LMBackbone(nn.Module):
             resid_dropout=self.resid_dropout,
             mlp_nblocks=self.mlp_nblocks,
             mlp_l_chunks=self.mlp_l_chunks,
+            residual_f32=self.residual_f32,
             moe_kwargs=self.moe_kwargs,
         )
         if self.scan_blocks:
@@ -251,6 +258,7 @@ class ConvLMHeadModel(nn.Module):
     resid_dropout: float = 0.0
     mlp_nblocks: int = 0
     mlp_l_chunks: int = 0
+    residual_f32: bool = True  # see Block.residual_f32
     moe_kwargs: dict | None = None
     remat: bool = False
     scan_blocks: bool = False
@@ -275,6 +283,7 @@ class ConvLMHeadModel(nn.Module):
             resid_dropout=self.resid_dropout,
             mlp_nblocks=self.mlp_nblocks,
             mlp_l_chunks=self.mlp_l_chunks,
+            residual_f32=self.residual_f32,
             moe_kwargs=self.moe_kwargs,
             remat=self.remat,
             scan_blocks=self.scan_blocks,

@@ -3035,7 +3035,11 @@ def _long_bwd_fused(plan, u, k, pregate, postgate, dout, ug, g):
         factors=plan.factors, compute_dtype=plan.compute_dtype_name,
         io_dtype=io, need_y=postgate is not None,
     )
-    du_inner = du5.reshape(b, h, n)[..., :length].astype(jnp.float32)
+    # f32 only when a gate product consumes du (dpre = du*u); ungated, the
+    # f32 round trip is a pure 2x-memory copy of a (B, H, N) tensor.
+    du_inner = du5.reshape(b, h, n)[..., :length]
+    if pregate is not None:
+        du_inner = du_inner.astype(jnp.float32)
     y_inner = (
         None if y5 is None
         else y5.reshape(b, h, n)[..., :length].astype(jnp.float32)
@@ -3104,16 +3108,21 @@ def _long4_bwd_fused(plan, u, k, pregate, postgate, dout, ug, g):
     bic0r = plan.idft_re[0][:, :fb] * wts
     bic0i = plan.idft_im[0][:, :fb] * wts
 
-    def inv_butterfly(zre, zim):
+    def inv_butterfly(zre, zim, out_dtype=jnp.float32):
         o, _ = _butterfly_tiles(
             zre.reshape(b, h, fb, rt, 128), zim.reshape(b, h, fb, rt, 128),
             bic0r, bic0i, w0r[:fb], w0i[:fb],
-            compute_dtype=plan.compute_dtype, io_dtype=jnp.float32,
+            compute_dtype=plan.compute_dtype, io_dtype=out_dtype,
             packed=False, inverse=True,
         )
         return o.reshape(b, h, n)[..., :length]
 
-    du_inner = inv_butterfly(du5, du5i)
+    # du stays at the HBM io dtype unless a gate product consumes it in f32
+    # (dpre = du*u); ungated, the f32 butterfly output doubles a (B, H, N)
+    # HBM temp for nothing.
+    du_inner = inv_butterfly(du5, du5i,
+                             out_dtype=jnp.float32 if pregate is not None
+                             else io)
     y_inner = None if y5 is None else inv_butterfly(y5, y5i)
     dk = _finish_dk(plan, dkr.reshape(h, fb, f0, n1, n2),
                     dki.reshape(h, fb, f0, n1, n2), k, half=True)
@@ -3325,7 +3334,8 @@ def _gated_bwd(plan_key, res, dout):
                 need_y=postgate is not None, ht=ht,
             )
             dk = _finish_dk(plan, dkr, dki, k)
-            du_inner = du4.astype(jnp.float32)
+            du_inner = (du4.astype(jnp.float32) if pregate is not None
+                        else du4)
             y_inner = None if y4 is None else y4.astype(jnp.float32)
             du, dpre, dpost = _gate_finish(plan, u, pregate, postgate, dout,
                                            du_inner, y_inner)
