@@ -35,6 +35,10 @@ run() {
   echo "--- rc=$? tail:"; tail -3 ".r5logs/$name.log"
 }
 
+# Parity at the round-5 DIRECT_MAX=512 flip (direct-DFT default at 256/512).
+run parity_direct 3600 env TPU_PARITY_SIZES=256,512 TPU_PARITY_FORCE=1 \
+  python -u benchmarks/tpu_parity.py
+
 rm -f benchmarks/listops_v5e.jsonl
 run listops_masked 10800 python -u examples/lra/train_listops.py \
   --epochs 28 --log-file benchmarks/listops_v5e.jsonl

@@ -43,7 +43,10 @@ def main():
         mixer_kwargs={"impl": "auto", "filter_args": {"emb_dim": 5},
                       "conv_h_chunks": int(os.environ.get("HDNA_MEM_HCHUNKS", "0")),
                       "proj_l_chunks": int(os.environ.get("HDNA_MEM_PROJCHUNKS", "0")),
-                      "short_filter_impl": os.environ.get("HDNA_MEM_SHORT") or None},
+                      "short_filter_impl": os.environ.get("HDNA_MEM_SHORT") or None,
+                      "filter_output_dtype":
+                          jnp.bfloat16 if os.environ.get("HDNA_MEM_KBF16") == "1"
+                          else None},
         remat=True, scan_blocks=scan,
         mlp_l_chunks=int(os.environ.get("HDNA_MEM_MLPCHUNKS", "0")),
         residual_f32=os.environ.get("HDNA_MEM_RES32", "1") == "1",

@@ -108,6 +108,12 @@ class HyenaOperator(nn.Module):
     # memory lever for single-chip 1M-sequence training where those
     # accumulators are GBs (see .r5logs/hdna_1m_train_scan.log).
     conv_h_chunks: int = 0
+    # Cast the implicit filter's output (and its cotangent) to this dtype
+    # before the conv. None keeps f32 — the f32 k -> f32 kernel spectrum is
+    # a numerics advantage (docs/DESIGN.md) — but at L=1M the f32 k + dk +
+    # transpose temps hold ~3 GB, so the single-chip 1M memory config sets
+    # bfloat16 here.
+    filter_output_dtype: Any = None
     # Chunk the pointwise projections over L (nn.scan + remat, exact): the
     # in-projection -> short-filter segment (a K-1 halo carried between
     # chunks keeps the causal conv exact) and the gate-multiply ->
@@ -211,6 +217,8 @@ class HyenaOperator(nn.Module):
             name="filter",
         )
         k = filter_fn(l_filter)  # (1, L, (order-1)*D)
+        if self.filter_output_dtype is not None:
+            k = k.astype(self.filter_output_dtype)
         k = k[0].T.reshape(self.order - 1, self.d_model, l_filter)  # (o, D, L)
         bias = filter_fn.bias.reshape(self.order - 1, self.d_model)
 

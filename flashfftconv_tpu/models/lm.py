@@ -74,13 +74,17 @@ def chunked_mlp(l_chunks: int, name: str, **fields):
     (1, 1M, 1024) fc1 temp is 2 GB bf16). Params are broadcast (no leading
     axis) so the tree matches the plain Mlp.
 
-    Call with x reshaped to (B, l_chunks, L // l_chunks, D)."""
+    Call with x shaped (l_chunks, B, L // l_chunks, D): the scan runs over
+    the LEADING axis — lax.scan can only scan axis 0, so a non-leading
+    in_axes makes flax transpose the full stacked input AND output (and
+    their cotangents in the backward), full-size copies that defeat the
+    lever. At B=1 the leading-axis layout is a free reshape."""
     return nn.scan(
         nn.remat(MlpScanCell, prevent_cse=False),
         variable_broadcast="params",
         split_rngs={"params": False},
-        in_axes=1,
-        out_axes=1,
+        in_axes=0,
+        out_axes=0,
     )(name=name, **fields)
 
 
@@ -147,8 +151,10 @@ class Block(nn.Module):
         elif self.mlp_l_chunks > 1:
             b_, l_, d_ = h.shape
             c = self.mlp_l_chunks
-            _, hc = self.mlp_mod(0, h.reshape(b_, c, l_ // c, d_))
-            h = hc.reshape(b_, l_, d_)
+            # Chunk axis leading (free transpose at B=1; see chunked_mlp).
+            xs = jnp.swapaxes(h.reshape(b_, c, l_ // c, d_), 0, 1)
+            _, hc = self.mlp_mod(0, xs)
+            h = jnp.swapaxes(hc, 0, 1).reshape(b_, l_, d_)
         else:
             h = self.mlp_mod(h)
         h = self.drop(h, deterministic=deterministic)

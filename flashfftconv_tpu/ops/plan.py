@@ -125,16 +125,17 @@ def is_supported_seqlen(seqlen: int) -> bool:
 
 
 # Below this size a single (N, N) DFT matmul batched over B*H beats the
-# Monarch split on TPU (the extra FLOPs are trivial at N <= 128, and 128
-# lanes need N >= 256 for a 2-way split anyway). 256..1024 use the 2-way
-# split with channel-grouped block-diagonal stage-1 matmuls
-# (monarch_pallas._group_size), which keeps the MXU contraction depth at
-# 128 even though n1 < 128. FLASHFFTCONV_DIRECT_MAX raises the direct
-# cutover for on-chip A/B: the small-N probe (tpu_smalln_probe.py, round 4)
-# showed the 2-factor kernel at 256-512 is VPU-pass-bound at 3.3-3.7x the
-# bandwidth floor, while the direct kernel's 2x FLOPs are MXU-shaped —
-# candidates for a flip if the sweep confirms.
-DIRECT_MAX = int(os.environ.get("FLASHFFTCONV_DIRECT_MAX", "128"))
+# Monarch split on TPU (the extra FLOPs are trivial, and they land on the
+# MXU as (rows, N) @ (N, N) matmuls while the small-N 2-factor kernel is
+# VPU-pass-bound). The round-5 on-chip A/B (tpu_smalln_probe.jsonl, B=16
+# H=768 gated, scan-amortized) measured the cutover directly: direct wins
+# 2.7x at 256 (0.055 vs 0.149 ms/call) and ~7% at 512 (0.191 vs 0.204),
+# and loses 2.3x at 1024 (0.595 vs 0.263) where the (N, N) matmul's extra
+# FLOPs stop being free. 1024..32K keep the 2-way split with
+# channel-grouped block-diagonal stage-1 matmuls (_group_size), which
+# keeps the MXU contraction depth at 128 even though n1 < 128.
+# FLASHFFTCONV_DIRECT_MAX overrides for A/B.
+DIRECT_MAX = int(os.environ.get("FLASHFFTCONV_DIRECT_MAX", "512"))
 
 
 def default_factors(seqlen: int) -> tuple[int, ...]:

@@ -87,9 +87,11 @@ def test_default_factors_budget(monkeypatch):
     assert plan_mod.default_factors(524288) == (8, 512, 128)
     assert plan_mod.default_factors(1048576) == (8, 512, 256)
     monkeypatch.setattr(plan_mod, "VMEM_BUDGET_MB", 100)
-    # 2M/4M keep the pipeline: the 2M single-pass candidates lose on
-    # forward and their backwards crash the compile helper (sweep record).
-    assert plan_mod.default_factors(2097152) == (16, 4, 256, 128)
+    # Round-5 flips at the full budget: 1M prefers (16,512,128) and 2M the
+    # single-pass (32,256,256) (fori band loop made both compile-sane;
+    # parity 67/67 at these defaults). 4M keeps the pipeline.
+    assert plan_mod.default_factors(1048576) == (16, 512, 128)
+    assert plan_mod.default_factors(2097152) == (32, 256, 256)
     assert plan_mod.default_factors(4194304) == (32, 4, 256, 128)
 
 
