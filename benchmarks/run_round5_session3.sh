@@ -43,18 +43,24 @@ rm -f benchmarks/listops_v5e.jsonl
 run listops_masked 10800 python -u examples/lra/train_listops.py \
   --epochs 28 --log-file benchmarks/listops_v5e.jsonl
 
-run bench_4m_singlepass 5400 env FLASHFFTCONV_FACTORS=4194304:64,256,256 \
-  python -u benchmarks/benchmark_flashfftconv.py --sizes 4194304 \
-  --csv benchmarks/results_v5e_r5_4m_singlepass.csv
+run bench_sanity_r5 3600 env BENCH_TIMEOUT=2400 python -u bench.py
 
 run conv1d_grid_redo 7200 python -u benchmarks/benchmark_conv1d.py \
   --csv benchmarks/results_conv1d_v5e_r4.csv
+
+# Grid rows at the flipped sizes (the session-2 attempt was polluted by
+# concurrent compile/relay traffic — timings 25x inflated).
+run grid_flips_r5 10800 python -u benchmarks/benchmark_flashfftconv.py \
+  --sizes 65536,262144,524288,1048576,2097152,4194304 \
+  --csv benchmarks/results_v5e_r5.csv
+
+run bench_4m_singlepass 5400 env FLASHFFTCONV_FACTORS=4194304:64,256,256 \
+  python -u benchmarks/benchmark_flashfftconv.py --sizes 4194304 \
+  --csv benchmarks/results_v5e_r5_4m_singlepass.csv
 
 run pathfinder 10800 python -u examples/lra/train_pathfinder.py \
   --epochs 15 --log-file benchmarks/pathfinder_v5e.jsonl
 run retrieval 7200 python -u examples/lra/train_retrieval.py \
   --epochs 10 --log-file benchmarks/retrieval_v5e.jsonl
-
-run bench_sanity_r5 3600 env BENCH_TIMEOUT=2400 python -u bench.py
 
 echo "=== round-5 session-3 queue done ($(date -u +%H:%M:%S)) ==="

@@ -76,6 +76,15 @@ def get_args():
                    "(dense layouts at B=1 — the XLA conv backward pads "
                    "(1,D,L) temps 2x at 1M); 'pallas' pins the Pallas "
                    "kernels")
+    p.add_argument("--bf16-filter", action="store_true",
+                   help="cast the implicit filter's output (and cotangent) "
+                   "to bf16 before the conv (~3 GB of f32 k/dk temps at 1M; "
+                   "the kernel spectrum is recomputed from it in f32 either "
+                   "way)")
+    p.add_argument("--inner-remat", action="store_true",
+                   help="remat the mixer and MLP as separate regions inside "
+                   "each block (peak = max of the two backward working sets "
+                   "instead of their union; one extra forward recompute)")
     p.add_argument("--bf16-residual", action="store_true",
                    help="carry the residual stream in bf16 instead of f32 "
                    "(halves the per-block residual/cotangent memory at 1M; "
@@ -137,11 +146,14 @@ def main():
         mixer_kwargs={"impl": args.impl, "filter_args": {"emb_dim": 5},
                       "conv_h_chunks": args.conv_h_chunks,
                       "proj_l_chunks": args.proj_l_chunks,
-                      "short_filter_impl": args.short_filter_impl or None},
+                      "short_filter_impl": args.short_filter_impl or None,
+                      "filter_output_dtype":
+                          jnp.bfloat16 if args.bf16_filter else None},
         remat=args.remat,
         scan_blocks=args.scan_blocks,
         mlp_l_chunks=args.mlp_l_chunks,
         residual_f32=not args.bf16_residual,
+        inner_remat=args.inner_remat,
         dtype=jnp.bfloat16,
         pad_vocab_size_multiple=8,
     )

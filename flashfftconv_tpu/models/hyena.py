@@ -221,6 +221,10 @@ class HyenaOperator(nn.Module):
             k = k.astype(self.filter_output_dtype)
         k = k[0].T.reshape(self.order - 1, self.d_model, l_filter)  # (o, D, L)
         bias = filter_fn.bias.reshape(self.order - 1, self.d_model)
+        if self.filter_output_dtype is not None:
+            # f32 bias would promote bias*v to f32 — a full (B, D, L) f32
+            # temp (1 GB at 1M) for a skip-connection add.
+            bias = bias.astype(self.filter_output_dtype)
 
         # Recurrence (safari hyena.py form): v <- conv(v * x_i, k_o) + b_o*(v*x_i)
         for o, gate in enumerate(reversed(gates[1:])):

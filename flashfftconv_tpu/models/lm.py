@@ -13,6 +13,7 @@ registry-style (the reference's `_name_` registry, SURVEY.md §5.6).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable
 
 import flax.linen as nn
@@ -60,32 +61,109 @@ class Mlp(nn.Module):
         return dense(self.d_model, "fc2")(y)
 
 
-class MlpScanCell(Mlp):
-    """Mlp with a scan-compatible signature for the L-chunked wrapper."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _mlp_chunked(x, w1, b1, w2, b2, c, act):
+    """fc2(act(fc1(x))) computed (and differentiated) in c L-chunks via
+    lax.fori_loop — bounding live fc1/act temps to one chunk WITHOUT a
+    scan: nn.scan-of-remat inside the outer block remat consistently
+    ballooned the 1M train step by +4-5 GB (stacked per-chunk residuals
+    and scan-carry cotangents survive the block backward; measured three
+    times, .r5logs/mem_probe_*mlp4*). Saves only x; the backward
+    recomputes fc1 per chunk and accumulates dw1/dw2 in f32."""
+    rows, d = x.shape
+    rc = rows // c
 
-    def __call__(self, carry, x):
-        return carry, Mlp.__call__(self, x)
+    def fwd_chunk(i, y):
+        xc = jax.lax.dynamic_slice_in_dim(x, i * rc, rc)
+        hc = act((xc @ w1 + b1).astype(jnp.float32)).astype(x.dtype)
+        return jax.lax.dynamic_update_slice_in_dim(y, hc @ w2 + b2, i * rc, 0)
+
+    y0 = jnp.zeros((rows, w2.shape[1]), x.dtype)
+    return jax.lax.fori_loop(0, c, fwd_chunk, y0)
 
 
-def chunked_mlp(l_chunks: int, name: str, **fields):
-    """An Mlp applied as lax.scan over l_chunks sequence chunks with remat:
-    pointwise over L, so exact, while bounding the live (B, Lc, d_inner)
-    activations to one chunk — the 1M-sequence memory lever (the full
-    (1, 1M, 1024) fc1 temp is 2 GB bf16). Params are broadcast (no leading
-    axis) so the tree matches the plain Mlp.
+def _mlp_chunked_fwd(x, w1, b1, w2, b2, c, act):
+    return _mlp_chunked(x, w1, b1, w2, b2, c, act), (x, w1, b1, w2)
 
-    Call with x shaped (l_chunks, B, L // l_chunks, D): the scan runs over
-    the LEADING axis — lax.scan can only scan axis 0, so a non-leading
-    in_axes makes flax transpose the full stacked input AND output (and
-    their cotangents in the backward), full-size copies that defeat the
-    lever. At B=1 the leading-axis layout is a free reshape."""
-    return nn.scan(
-        nn.remat(MlpScanCell, prevent_cse=False),
-        variable_broadcast="params",
-        split_rngs={"params": False},
-        in_axes=0,
-        out_axes=0,
-    )(name=name, **fields)
+
+def _mlp_chunked_bwd(c, act, res, dy):
+    x, w1, b1, w2 = res
+    rows, _ = x.shape
+    rc = rows // c
+    f32 = jnp.float32
+
+    def bwd_chunk(i, carry):
+        dx, dw1, db1, dw2, db2 = carry
+        xc = jax.lax.dynamic_slice_in_dim(x, i * rc, rc)
+        dyc = jax.lax.dynamic_slice_in_dim(dy, i * rc, rc)
+        pre = (xc @ w1 + b1).astype(f32)
+        hc, dact = jax.vjp(lambda p: act(p), pre)
+        hc = hc.astype(x.dtype)
+        dh = (dyc @ w2.T).astype(f32)
+        dpre = dact(dh)[0].astype(x.dtype)
+        dx = jax.lax.dynamic_update_slice_in_dim(dx, dpre @ w1.T, i * rc, 0)
+        dw1 = dw1 + (xc.T @ dpre).astype(f32)
+        db1 = db1 + dpre.astype(f32).sum(0)
+        dw2 = dw2 + (hc.T @ dyc).astype(f32)
+        db2 = db2 + dyc.astype(f32).sum(0)
+        return dx, dw1, db1, dw2, db2
+
+    z = lambda a: jnp.zeros(a.shape, f32)
+    dx0 = jnp.zeros(x.shape, x.dtype)
+    dx, dw1, db1, dw2, db2 = jax.lax.fori_loop(
+        0, c, bwd_chunk, (dx0, z(w1), z(b1), z(w2), jnp.zeros((w2.shape[1],), f32))
+    )
+    return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b1.dtype))
+
+
+_mlp_chunked.defvjp(_mlp_chunked_fwd, _mlp_chunked_bwd)
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact tree ({kernel, bias}) and
+    default initializers, for layers whose compute runs outside flax."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class ChunkedMlp(nn.Module):
+    """Mlp with the L-chunked custom-VJP body (see _mlp_chunked). Same
+    param tree as Mlp (fc1/fc2 with Dense-shaped {kernel, bias})."""
+
+    d_inner: int
+    d_model: int
+    l_chunks: int = 4
+    activation: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, x):
+        b, l, d = x.shape
+        w1, b1 = _DenseParams(d, self.d_inner, name="fc1")()
+        w2, b2 = _DenseParams(self.d_inner, self.d_model, name="fc2")()
+        y = _mlp_chunked(
+            x.reshape(b * l, d),
+            w1.astype(x.dtype), b1.astype(x.dtype),
+            w2.astype(x.dtype), b2.astype(x.dtype),
+            self.l_chunks, self.activation,
+        )
+        return y.reshape(b, l, self.d_model)
+
+
+# (An nn.scan-of-remat chunked Mlp was built first and REMOVED: under the
+# outer block remat it consistently grew the 1M train step by +4-5 GB —
+# .r5logs/mem_probe_*mlp4*; the custom-VJP form above is what shipped.
+# Code in git history: grep chunked_mlp.)
 
 
 class Block(nn.Module):
@@ -110,13 +188,24 @@ class Block(nn.Module):
     mlp_activation: str = "gelu"  # "relu" for OPT (flash_attn/models/opt.py)
     mlp_l_chunks: int = 0  # L-chunked MLP (see chunked_mlp)
     residual_f32: bool = True
+    # Nested checkpointing: remat the mixer and the MLP as SEPARATE regions
+    # inside the (already rematted) block, so during the block backward the
+    # mixer's and the MLP's recomputed working sets never coexist — peak
+    # becomes max(mixer bwd, mlp bwd) instead of their union, at the cost
+    # of one extra forward recompute of each part. A 1M-sequence memory
+    # lever; off by default (extra recompute).
+    inner_remat: bool = False
 
     def setup(self):
         # setup-style (not nn.compact) so `step` can share the submodules
         # for KV-cached incremental decoding; explicit name= keeps the param
         # tree identical to the original compact layout.
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
-        self.mixer_mod = get_mixer_cls(self.mixer)(
+        mixer_cls = get_mixer_cls(self.mixer)
+        if self.inner_remat:
+            mixer_cls = nn.remat(mixer_cls, prevent_cse=False,
+                                 static_argnums=(2,))
+        self.mixer_mod = mixer_cls(
             d_model=self.d_model, **(self.mixer_kwargs or {}), name="mixer"
         )
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
@@ -129,32 +218,32 @@ class Block(nn.Module):
             )
         else:
             act = {"gelu": nn.gelu, "relu": nn.relu}[self.mlp_activation]
-            fields = dict(d_inner=self.d_inner, d_model=self.d_model,
-                          nblocks=self.mlp_nblocks, activation=act)
-            if self.mlp_l_chunks > 1:
-                self.mlp_mod = chunked_mlp(self.mlp_l_chunks, "mlp", **fields)
+            if self.mlp_l_chunks > 1 and not self.mlp_nblocks:
+                mlp_cls = ChunkedMlp
+                kw = dict(d_inner=self.d_inner, d_model=self.d_model,
+                          l_chunks=self.mlp_l_chunks, activation=act)
             else:
-                self.mlp_mod = Mlp(name="mlp", **fields)
+                mlp_cls = Mlp
+                kw = dict(d_inner=self.d_inner, d_model=self.d_model,
+                          nblocks=self.mlp_nblocks, activation=act)
+            if self.inner_remat:
+                mlp_cls = nn.remat(mlp_cls, prevent_cse=False)
+            self.mlp_mod = mlp_cls(name="mlp", **kw)
         self.drop = nn.Dropout(rate=self.resid_dropout)
 
     def __call__(self, x, deterministic: bool = True):
         dtype = x.dtype
         res = x.astype(jnp.float32) if self.residual_f32 else x
         h = self.norm1(res).astype(dtype)
-        h = self.mixer_mod(h, deterministic=deterministic)
+        # positional deterministic: nn.remat static_argnums counts
+        # positional args (inner_remat wraps the mixer with (2,)).
+        h = self.mixer_mod(h, deterministic)
         h = self.drop(h, deterministic=deterministic)
         res = res + h.astype(res.dtype)
 
         h = self.norm2(res).astype(dtype)
         if self.moe_kwargs:
             h = self.mlp_mod(h, deterministic=deterministic)
-        elif self.mlp_l_chunks > 1:
-            b_, l_, d_ = h.shape
-            c = self.mlp_l_chunks
-            # Chunk axis leading (free transpose at B=1; see chunked_mlp).
-            xs = jnp.swapaxes(h.reshape(b_, c, l_ // c, d_), 0, 1)
-            _, hc = self.mlp_mod(0, xs)
-            h = jnp.swapaxes(hc, 0, 1).reshape(b_, l_, d_)
         else:
             h = self.mlp_mod(h)
         h = self.drop(h, deterministic=deterministic)
@@ -195,6 +284,7 @@ class LMBackbone(nn.Module):
     mlp_nblocks: int = 0
     mlp_l_chunks: int = 0
     residual_f32: bool = True  # see Block.residual_f32
+    inner_remat: bool = False  # see Block.inner_remat
     moe_kwargs: dict | None = None
     remat: bool = False  # gradient checkpointing per block (the reference
     # trains HyenaDNA under torch checkpoint wrappers — the ".mixer.layer"
@@ -228,6 +318,7 @@ class LMBackbone(nn.Module):
             mlp_nblocks=self.mlp_nblocks,
             mlp_l_chunks=self.mlp_l_chunks,
             residual_f32=self.residual_f32,
+            inner_remat=self.inner_remat,
             moe_kwargs=self.moe_kwargs,
         )
         if self.scan_blocks:
@@ -265,6 +356,7 @@ class ConvLMHeadModel(nn.Module):
     mlp_nblocks: int = 0
     mlp_l_chunks: int = 0
     residual_f32: bool = True  # see Block.residual_f32
+    inner_remat: bool = False  # see Block.inner_remat
     moe_kwargs: dict | None = None
     remat: bool = False
     scan_blocks: bool = False
@@ -290,6 +382,7 @@ class ConvLMHeadModel(nn.Module):
             mlp_nblocks=self.mlp_nblocks,
             mlp_l_chunks=self.mlp_l_chunks,
             residual_f32=self.residual_f32,
+            inner_remat=self.inner_remat,
             moe_kwargs=self.moe_kwargs,
             remat=self.remat,
             scan_blocks=self.scan_blocks,

@@ -820,3 +820,9 @@ def test_lm_mlp_l_chunks_matches(rng):
     np.testing.assert_allclose(
         np.asarray(m0.apply({"params": p}, ids)),
         np.asarray(m1.apply({"params": p}, ids)), rtol=2e-5, atol=2e-5)
+    # The chunked MLP is a custom VJP: all param grads must match too.
+    g0 = jax.grad(lambda p: jnp.mean(m0.apply({"params": p}, ids) ** 2))(p)
+    g1 = jax.grad(lambda p: jnp.mean(m1.apply({"params": p}, ids) ** 2))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
