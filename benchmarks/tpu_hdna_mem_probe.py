@@ -49,6 +49,7 @@ def main():
                           else None},
         remat=True, scan_blocks=scan,
         inner_remat=os.environ.get("HDNA_MEM_INNER", "0") == "1",
+        ln_f_f32=os.environ.get("HDNA_MEM_LNF32", "1") == "1",
         mlp_l_chunks=int(os.environ.get("HDNA_MEM_MLPCHUNKS", "0")),
         residual_f32=os.environ.get("HDNA_MEM_RES32", "1") == "1",
         dtype=jnp.bfloat16,

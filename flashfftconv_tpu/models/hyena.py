@@ -174,17 +174,26 @@ class HyenaOperator(nn.Module):
                 y_c = ShortDepthwiseConv(
                     inner, ko, impl=sf_impl, name="short_filter"
                 )(x_c, history=carry.astype(x_c.dtype))
-                return x_c[..., -(ko - 1):], y_c
+                # Emit the (order+1) streams pre-split: a single stacked
+                # (B, inner, L) output would be re-split downstream into
+                # full-size slice copies (1.5 GB x2 live at L=1M) — per-
+                # chunk splits are bounded and the big concat never exists.
+                y4 = y_c.reshape(
+                    y_c.shape[0], mdl.order + 1, mdl.d_model, y_c.shape[-1]
+                )
+                return x_c[..., -(ko - 1):], tuple(
+                    y4[:, i] for i in range(mdl.order + 1)
+                )
 
             carry0 = jnp.zeros((b, inner, ko - 1), u.dtype)
-            _, x = nn.scan(
+            _, parts = nn.scan(
                 nn.remat(_seg_a, prevent_cse=False),
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=2,
                 out_axes=2,
             )(self, carry0, u.reshape(b, d, c, l // c))
-            x = x.reshape(b, inner, l)
+            splits = [p.reshape(b, self.d_model, l) for p in parts]
         else:
             # In-projection without bias-add, pushed into the matmul like the
             # reference (hyena-flashfft.py:337-339).
@@ -205,7 +214,8 @@ class HyenaOperator(nn.Module):
                 name="short_filter",
             )(x)[..., :l]
 
-        splits = jnp.split(x, self.order + 1, axis=1)
+        if not chunked:
+            splits = jnp.split(x, self.order + 1, axis=1)
         *gates, v = splits
 
         filter_fn = HyenaFilter(

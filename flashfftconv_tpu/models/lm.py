@@ -285,6 +285,7 @@ class LMBackbone(nn.Module):
     mlp_l_chunks: int = 0
     residual_f32: bool = True  # see Block.residual_f32
     inner_remat: bool = False  # see Block.inner_remat
+    ln_f_f32: bool = True  # f32 final norm (False = bf16, a 1M memory lever)
     moe_kwargs: dict | None = None
     remat: bool = False  # gradient checkpointing per block (the reference
     # trains HyenaDNA under torch checkpoint wrappers — the ".mixer.layer"
@@ -338,7 +339,13 @@ class LMBackbone(nn.Module):
             block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
             for i in range(self.n_layer):
                 x = block_cls(**block_fields, name=f"block_{i}")(x, deterministic)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
+        if self.ln_f_f32:
+            return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                name="ln_f")(x.astype(jnp.float32))
+        # bf16 final norm (stats over only d_model features): the f32 cast
+        # of a (B, L, D) stream plus its cotangent is 2 GB at L=1M, feeding
+        # a head that casts back to bf16 anyway.
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_f")(x)
 
 
 class ConvLMHeadModel(nn.Module):
@@ -357,6 +364,7 @@ class ConvLMHeadModel(nn.Module):
     mlp_l_chunks: int = 0
     residual_f32: bool = True  # see Block.residual_f32
     inner_remat: bool = False  # see Block.inner_remat
+    ln_f_f32: bool = True  # see LMBackbone.ln_f_f32
     moe_kwargs: dict | None = None
     remat: bool = False
     scan_blocks: bool = False
@@ -383,6 +391,7 @@ class ConvLMHeadModel(nn.Module):
             mlp_l_chunks=self.mlp_l_chunks,
             residual_f32=self.residual_f32,
             inner_remat=self.inner_remat,
+            ln_f_f32=self.ln_f_f32,
             moe_kwargs=self.moe_kwargs,
             remat=self.remat,
             scan_blocks=self.scan_blocks,

@@ -112,22 +112,28 @@ def _xla_depthwise(x, w_kd, bias, padding, is_bhl, out_dtype, use_conv=True):
             out = out + (bias_f[None, :, None] if is_bhl else bias_f[None, None, :])
         return out.astype(out_dtype)
 
-    xf = x.astype(jnp.float32)
+    # f32 math, storage-dtype BOUNDARIES: each tap slice is cast to f32
+    # INSIDE the sum (XLA fuses the converts) rather than casting x once up
+    # front — an upfront f32 x would make the AD cotangent of x flow in f32
+    # too, doubling every (B, D, L) gradient temp (4 x 768 MB of live f32
+    # chunk cotangents in the HyenaDNA-1M probe, .r5logs/mem_probe_presplit).
     wf = w_kd.astype(jnp.float32)
     if is_bhl:
-        xp = jnp.pad(xf, ((0, 0), (0, 0), padding))
+        xp = jnp.pad(x, ((0, 0), (0, 0), padding))
         l_out = xp.shape[-1] - k + 1
         out = jnp.zeros(xp.shape[:-1] + (l_out,), jnp.float32)
         for tap in range(k):
-            out = out + xp[..., tap : tap + l_out] * wf[tap][None, :, None]
+            out = out + (xp[..., tap : tap + l_out].astype(jnp.float32)
+                         * wf[tap][None, :, None])
         if bias is not None:
             out = out + bias.astype(jnp.float32)[None, :, None]
     else:
-        xp = jnp.pad(xf, ((0, 0), padding, (0, 0)))
+        xp = jnp.pad(x, ((0, 0), padding, (0, 0)))
         l_out = xp.shape[1] - k + 1
         out = jnp.zeros((xp.shape[0], l_out, xp.shape[2]), jnp.float32)
         for tap in range(k):
-            out = out + xp[:, tap : tap + l_out, :] * wf[tap][None, None, :]
+            out = out + (xp[:, tap : tap + l_out, :].astype(jnp.float32)
+                         * wf[tap][None, None, :])
         if bias is not None:
             out = out + bias.astype(jnp.float32)[None, None, :]
     return out.astype(out_dtype)
