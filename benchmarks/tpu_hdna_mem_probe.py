@@ -40,7 +40,11 @@ def main():
     model = ConvLMHeadModel(
         d_model=256, n_layer=n_layer, d_inner=1024, vocab_size=5, l_max=l_max,
         mixer="hyena",
-        mixer_kwargs={"impl": "auto", "filter_args": {"emb_dim": 5},
+        mixer_kwargs={"impl": "auto",
+                      "filter_args": {
+                          "emb_dim": 5,
+                          **({"mlp_dtype": jnp.bfloat16}
+                             if os.environ.get("HDNA_MEM_FILTMLP") == "1" else {})},
                       "conv_h_chunks": int(os.environ.get("HDNA_MEM_HCHUNKS", "0")),
                       "proj_l_chunks": int(os.environ.get("HDNA_MEM_PROJCHUNKS", "0")),
                       "short_filter_impl": os.environ.get("HDNA_MEM_SHORT") or None,

@@ -81,6 +81,10 @@ def get_args():
                    "to bf16 before the conv (~3 GB of f32 k/dk temps at 1M; "
                    "the kernel spectrum is recomputed from it in f32 either "
                    "way)")
+    p.add_argument("--bf16-filter-mlp", action="store_true",
+                   help="run the implicit filter MLP in bf16 (params stay "
+                   "f32): pointwise in L, so each f32 activation is a "
+                   "256 MB backward temp at 1M (x3 layers)")
     p.add_argument("--inner-remat", action="store_true",
                    help="remat the mixer and MLP as separate regions inside "
                    "each block (peak = max of the two backward working sets "
@@ -89,6 +93,14 @@ def get_args():
                    help="carry the residual stream in bf16 instead of f32 "
                    "(halves the per-block residual/cotangent memory at 1M; "
                    "the reference's residual_in_fp32 also defaults off)")
+    p.add_argument("--bf16-ln-f", action="store_true",
+                   help="bf16 final layer norm: the f32 cast of the (B,L,D) "
+                   "stream plus its cotangent is 2 GB at 1M, feeding a head "
+                   "that casts back to bf16 anyway")
+    p.add_argument("--no-lhs", action="store_true",
+                   help="disable XLA's latency-hiding scheduler for the "
+                   "train step (memory-minimizing schedule: cuts peak by "
+                   "GBs on a barely-fitting 1M step, at some overlap cost)")
     p.add_argument("--log-file", default="", help="JSONL metrics artifact path")
     p.add_argument("--time-steps", action="store_true",
                    help="report per-step wall time (post-compile) when training")
@@ -143,7 +155,11 @@ def main():
         vocab_size=len(DNA_VOCAB),
         l_max=args.l_max,
         mixer="hyena",
-        mixer_kwargs={"impl": args.impl, "filter_args": {"emb_dim": 5},
+        mixer_kwargs={"impl": args.impl,
+                      "filter_args": {
+                          "emb_dim": 5,
+                          **({"mlp_dtype": jnp.bfloat16}
+                             if args.bf16_filter_mlp else {})},
                       "conv_h_chunks": args.conv_h_chunks,
                       "proj_l_chunks": args.proj_l_chunks,
                       "short_filter_impl": args.short_filter_impl or None,
@@ -154,6 +170,7 @@ def main():
         mlp_l_chunks=args.mlp_l_chunks,
         residual_f32=not args.bf16_residual,
         inner_remat=args.inner_remat,
+        ln_f_f32=not args.bf16_ln_f,
         dtype=jnp.bfloat16,
         pad_vocab_size_multiple=8,
     )
@@ -205,11 +222,25 @@ def main():
         return TrainState(state.step + 1, params, opt_state), loss
 
     jit_step = jax.jit(step_fn)
+    if args.no_lhs:
+        # AOT-compile with the memory-minimizing schedule (same pattern as
+        # benchmarks/tpu_hdna_mem_probe.py); the compiled object is then
+        # called with the same arg structure every step.
+        jit_step = jit_step.lower(
+            state, ids, jnp.zeros_like(ids)
+        ).compile(compiler_options={
+            "xla_tpu_enable_latency_hiding_scheduler": "false"})
     batches = lm_batches(genome, args.batch_size, args.l_max,
                          np.random.default_rng(args.seed))
     if args.time_steps:
-        x0, y0 = next(batches)
-        mem_mb = benchmark_memory(jit_step, state, jnp.asarray(x0), jnp.asarray(y0))
+        if args.no_lhs:
+            a = jit_step.memory_analysis()
+            mem_mb = (a.temp_size_in_bytes + a.output_size_in_bytes
+                      + a.argument_size_in_bytes) / 2**20
+        else:
+            x0, y0 = next(batches)
+            mem_mb = benchmark_memory(jit_step, state,
+                                      jnp.asarray(x0), jnp.asarray(y0))
         print(f"train-step peak memory: {mem_mb:.0f} MB", flush=True)
     toks = args.batch_size * args.l_max
     t_prev = time.perf_counter()

@@ -38,6 +38,10 @@ class Sin(nn.Module):
             freq = self.param(
                 "freq", lambda key, shape: jnp.full(shape, self.w, jnp.float32), (1, self.dim)
             )
+            # Keep the activation in x's dtype: an f32 freq would promote a
+            # bf16 implicit-MLP stream (see HyenaFilter.mlp_dtype) back to
+            # f32, reinstating the 256 MB/layer temps at L=1M.
+            freq = freq.astype(x.dtype)
         else:
             freq = self.w
         return jnp.sin(self.w_mod * freq * x)
@@ -81,8 +85,12 @@ class ExponentialModulation(nn.Module):
                                 init.shape)
         else:
             deltas = jnp.asarray(init, jnp.float32)
+        # Decay math stays f32 (exp of a large-range product); only the
+        # final envelope is cast, so a bf16 implicit-MLP stream (see
+        # HyenaFilter.mlp_dtype) isn't promoted back to an f32 (1, L, d)
+        # temp — 1 GB at L=1M.
         decay = jnp.exp(-t * jnp.abs(deltas))
-        return x * (decay + self.shift)
+        return x * (decay + self.shift).astype(x.dtype)
 
 
 class HyenaFilter(nn.Module):
@@ -106,19 +114,27 @@ class HyenaFilter(nn.Module):
     normalized: bool = False
     linear_mixer: bool = False
     modulation_args: dict | None = None
+    # Compute dtype of the implicit MLP (params stay f32). The MLP is
+    # pointwise in L, so at L=1M each f32 Dense activation is a 256 MB
+    # backward temp (x3 layers); bf16 halves them. The kernel it produces
+    # is consumed by a bf16 conv (filter_output_dtype) at that scale anyway.
+    mlp_dtype: Any = None
 
     def setup(self):
         self.z, self.t = positional_embedding(self.emb_dim, self.seq_len)
         # Bias used by callers that add a skip term (fftconv + bias * x).
         self.bias = self.param("bias", nn.initializers.normal(1.0), (self.d_model,))
+        dt = self.mlp_dtype
         if self.linear_mixer:
-            self.layers = [nn.Dense(self.d_model, use_bias=False, name="mixer")]
+            self.layers = [nn.Dense(self.d_model, use_bias=False, dtype=dt,
+                                    name="mixer")]
         else:
-            layers = [nn.Dense(self.order), Sin(dim=self.order, w=self.w, w_mod=self.w_mod)]
+            layers = [nn.Dense(self.order, dtype=dt),
+                      Sin(dim=self.order, w=self.w, w_mod=self.w_mod)]
             for i in range(self.num_inner_mlps):
-                layers.append(nn.Dense(self.order))
+                layers.append(nn.Dense(self.order, dtype=dt))
                 layers.append(Sin(dim=self.order, w=self.w, w_mod=self.w_mod))
-            layers.append(nn.Dense(self.d_model, use_bias=False))
+            layers.append(nn.Dense(self.d_model, use_bias=False, dtype=dt))
             self.layers = layers
         self.modulation = ExponentialModulation(
             self.d_model, **(self.modulation_args or {})
@@ -127,7 +143,7 @@ class HyenaFilter(nn.Module):
     def __call__(self, length: int):
         z = self.z[:, :length]
         t = self.t[:, :length]
-        h = z
+        h = z.astype(self.mlp_dtype) if self.mlp_dtype is not None else z
         for layer in self.layers:
             h = layer(h)
         if self.modulate:

@@ -270,6 +270,13 @@ def seq_fft_conv(
         raise ValueError(f"per-device length {n2} must be a power of two >= 16")
     q = n2 // p
     plan2 = make_plan(n2, compute_dtype=compute_dtype)
+    if len(plan2.factors) == 1:
+        # DIRECT_MAX makes small seqlens single-factor dense-DFT plans (a
+        # single-chip latency win); the band conv is built on the 2-factor
+        # Monarch structure, so split close-to-square explicitly here.
+        f1 = 1 << (n2.bit_length() // 2)
+        plan2 = make_plan(n2, compute_dtype=compute_dtype,
+                          factors=(max(f1, n2 // f1), min(f1, n2 // f1)))
     w_re, w_im, wi_re, wi_im = _outer_dft_matrices(p)
     out_dtype = u.dtype
     if impl not in ("auto", "xla", "pallas"):
