@@ -48,6 +48,7 @@ def main():
                       "conv_h_chunks": int(os.environ.get("HDNA_MEM_HCHUNKS", "0")),
                       "proj_l_chunks": int(os.environ.get("HDNA_MEM_PROJCHUNKS", "0")),
                       "short_filter_impl": os.environ.get("HDNA_MEM_SHORT") or None,
+                      "proj_out_f32": os.environ.get("HDNA_MEM_PROJF32") == "1",
                       "filter_output_dtype":
                           jnp.bfloat16 if os.environ.get("HDNA_MEM_KBF16") == "1"
                           else None},

@@ -98,6 +98,10 @@ def get_args():
     p.add_argument("--dropout", default=0.1, type=float)
     p.add_argument("--kernel_lr", default=1e-3, type=float)
     p.add_argument("--kernel_lam", default=0.001, type=float)
+    p.add_argument("--warmup-steps", default=1000, type=int)
+    p.add_argument("--prenorm", action="store_true",
+                   help="pre-norm residual blocks (easier optimization for "
+                   "deep stacks; LRA recipes are typically prenorm)")
     p.add_argument("--seed", default=0, type=int)
     # LRA listops-1000 scale: 96K train / 2K val, lengths rejected to
     # [min-len, l-max] (LRA uses [500, 2000]; l-max 2048 keeps the conv
@@ -137,7 +141,8 @@ def main():
         np.savez_compressed(args.data_cache, x=x, y=y)
         print(f"generated {len(x)} sequences in {time.time()-t0:.0f}s", flush=True)
     train_x, train_y = x[: args.n_train], y[: args.n_train]
-    val_x, val_y = x[args.n_train :], y[args.n_train :]
+    val_x = x[args.n_train : args.n_train + args.n_val]
+    val_y = y[args.n_train : args.n_train + args.n_val]
     steps_per_epoch = len(train_x) // args.batch_size
     print(f"train {train_x.shape}, val {val_x.shape}, {steps_per_epoch} steps/epoch",
           flush=True)
@@ -150,6 +155,7 @@ def main():
         dropout=args.dropout,
         kernel_lam=args.kernel_lam,
         l_max=args.l_max,
+        prenorm=args.prenorm,
         conv_dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(args.seed)
@@ -164,7 +170,7 @@ def main():
     tx = make_optimizer(
         params, lr=args.lr, weight_decay=args.weight_decay,
         special_lr=args.kernel_lr, epochs=args.epochs,
-        steps_per_epoch=steps_per_epoch,
+        steps_per_epoch=steps_per_epoch, warmup_steps=args.warmup_steps,
     )
     state = create_train_state(params, tx)
     # Masked mean pool: PAD positions (~75% of listops-1000 rows) carry a

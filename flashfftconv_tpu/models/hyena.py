@@ -121,6 +121,12 @@ class HyenaOperator(nn.Module):
     # (B, 3D, L) bf16 tensors AND their cotangents across the conv backward
     # (~6 GB of the mixer's 11.9 GB grad footprint, .r5logs/mem_parts.log).
     proj_l_chunks: int = 0
+    # Emit the (chunked) out-projection in f32. When the residual stream is
+    # f32, a bf16 mixer output is converted wholesale by the caller — at
+    # B=1/L=1M that is a 1 GB f32 convert LIVE NEXT TO its 512 MB bf16
+    # source; casting per chunk inside the scan writes f32 directly and the
+    # bf16 stacked copy never exists.
+    proj_out_f32: bool = False
 
     @nn.compact
     def __call__(self, u, deterministic: bool = True):
@@ -246,6 +252,8 @@ class HyenaOperator(nn.Module):
                 y_c = jnp.swapaxes(vg[0] * vg[1], -1, -2)  # (B, Lc, D)
                 out_c = nn.Dense(mdl.d_model, dtype=y_c.dtype,
                                  name="out_proj")(y_c)
+                if mdl.proj_out_f32:
+                    out_c = out_c.astype(jnp.float32)
                 return carry, out_c
 
             c = self.proj_l_chunks

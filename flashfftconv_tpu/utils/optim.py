@@ -39,16 +39,26 @@ def make_optimizer(
     special_lr: float | None = 1e-3,
     epochs: int | None = None,
     steps_per_epoch: int | None = None,
+    warmup_steps: int = 0,
     is_special: Callable = kernel_label_fn,
 ) -> optax.GradientTransformation:
     """AdamW with a separate no-weight-decay group for kernel params, and an
     optional cosine schedule (the reference uses CosineAnnealingLR over epochs,
-    standalone_cifar.py:177)."""
+    standalone_cifar.py:177). ``warmup_steps`` prepends a linear warmup (the
+    reference's LRA/Hyena configs warm up before the cosine; without it a
+    postnorm stack at full lr can collapse into the class-prior basin in the
+    first few hundred steps and never leave — the round-5 listops failure)."""
 
     def sched(base):
         if epochs is None or steps_per_epoch is None:
-            return base
-        return optax.cosine_decay_schedule(base, epochs * steps_per_epoch)
+            if not warmup_steps:
+                return base
+            return optax.linear_schedule(0.0, base, warmup_steps)
+        total = epochs * steps_per_epoch
+        if not warmup_steps:
+            return optax.cosine_decay_schedule(base, total)
+        return optax.warmup_cosine_decay_schedule(
+            0.0, base, warmup_steps, max(total, warmup_steps + 1))
 
     default_tx = optax.adamw(sched(lr), weight_decay=weight_decay)
     special_tx = optax.adamw(sched(special_lr if special_lr is not None else lr),
