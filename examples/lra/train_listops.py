@@ -102,6 +102,10 @@ def get_args():
     p.add_argument("--prenorm", action="store_true",
                    help="pre-norm residual blocks (easier optimization for "
                    "deep stacks; LRA recipes are typically prenorm)")
+    p.add_argument("--conv-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="long-conv compute dtype (f32 A/Bs the bf16 Pallas "
+                   "kernels out of the quality loop)")
     p.add_argument("--seed", default=0, type=int)
     # LRA listops-1000 scale: 96K train / 2K val, lengths rejected to
     # [min-len, l-max] (LRA uses [500, 2000]; l-max 2048 keeps the conv
@@ -156,7 +160,7 @@ def main():
         kernel_lam=args.kernel_lam,
         l_max=args.l_max,
         prenorm=args.prenorm,
-        conv_dtype=jnp.bfloat16,
+        conv_dtype=jnp.dtype(args.conv_dtype),
     )
     rng = jax.random.PRNGKey(args.seed)
 

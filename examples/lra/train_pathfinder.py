@@ -136,6 +136,7 @@ def get_args():
     p.add_argument("--dropout", default=0.1, type=float)
     p.add_argument("--kernel_lr", default=1e-3, type=float)
     p.add_argument("--kernel_lam", default=0.001, type=float)
+    p.add_argument("--warmup-steps", default=1000, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--n-train", default=40000, type=int)
     p.add_argument("--n-val", default=4000, type=int)
@@ -193,7 +194,7 @@ def main():
     tx = make_optimizer(
         params, lr=args.lr, weight_decay=args.weight_decay,
         special_lr=args.kernel_lr, epochs=args.epochs,
-        steps_per_epoch=steps_per_epoch,
+        steps_per_epoch=steps_per_epoch, warmup_steps=args.warmup_steps,
     )
     state = create_train_state(params, tx)
     apply = lambda p, xx, **kw: model.apply(p, xx[..., None], **kw)

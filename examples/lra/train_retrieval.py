@@ -95,6 +95,7 @@ def get_args():
     p.add_argument("--d_model", default=96, type=int)
     p.add_argument("--dropout", default=0.1, type=float)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--warmup-steps", default=500, type=int)
     p.add_argument("--noise", default=0.3, type=float)
     p.add_argument("--n-train", default=8000, type=int)
     p.add_argument("--n-val", default=1000, type=int)
@@ -154,7 +155,12 @@ def main():
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"model: {n_params/1e6:.2f}M params", flush=True)
 
-    sched = optax.cosine_decay_schedule(args.lr, args.epochs * steps_per_epoch)
+    total = args.epochs * steps_per_epoch
+    if args.warmup_steps:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, args.warmup_steps, max(total, args.warmup_steps + 1))
+    else:
+        sched = optax.cosine_decay_schedule(args.lr, total)
     tx = optax.adamw(sched, weight_decay=args.weight_decay)
     state = create_train_state(params, tx)
 
