@@ -137,6 +137,10 @@ def get_args():
     p.add_argument("--kernel_lr", default=1e-3, type=float)
     p.add_argument("--kernel_lam", default=0.001, type=float)
     p.add_argument("--warmup-steps", default=1000, type=int)
+    p.add_argument("--prenorm", action="store_true",
+                   help="pre-norm residual blocks (the postnorm default "
+                   "collapsed into the class prior at LRA scale on listops; "
+                   "prenorm is what the LRA recipes use)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--n-train", default=40000, type=int)
     p.add_argument("--n-val", default=4000, type=int)
@@ -184,6 +188,7 @@ def main():
         dropout=args.dropout,
         kernel_lam=args.kernel_lam,
         l_max=l_max,
+        prenorm=args.prenorm,
         conv_dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(args.seed)
