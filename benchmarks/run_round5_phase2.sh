@@ -46,11 +46,16 @@ run() {
   echo "--- rc=$? tail:"; tail -3 ".r5logs/$name.log"
 }
 
+HDNA_FLAGS="--model large-1m --steps 12 --remat --scan-blocks
+  --conv-h-chunks 4 --proj-l-chunks 4 --short-filter-impl shifts
+  --bf16-filter --inner-remat --bf16-ln-f --mlp-l-chunks 4 --time-steps"
 run hdna_1m_train_p2 10800 python -u examples/hyena_dna/train.py \
-  --model large-1m --steps 12 --remat --scan-blocks \
-  --conv-h-chunks 4 --proj-l-chunks 4 --short-filter-impl shifts \
-  --bf16-filter --inner-remat --bf16-ln-f --mlp-l-chunks 4 \
-  --time-steps --log-file benchmarks/hyenadna_v5e.jsonl
+  $HDNA_FLAGS --log-file benchmarks/hyenadna_v5e.jsonl
+if grep -q RESOURCE_EXHAUSTED .r5logs/hdna_1m_train_p2.log 2>/dev/null; then
+  # Retry with the memory-minimizing scheduler (longer step, smaller arena).
+  run hdna_1m_train_p2_nolhs 10800 python -u examples/hyena_dna/train.py \
+    $HDNA_FLAGS --no-lhs --log-file benchmarks/hyenadna_v5e.jsonl
+fi
 
 rm -f benchmarks/listops_v5e.jsonl
 run listops_prenorm 12600 python -u examples/lra/train_listops.py \
