@@ -51,4 +51,18 @@ run sweep_512k_fwd 5400 env FLASHFFTCONV_FACTORS=524288:4,512,256 \
   python -u benchmarks/benchmark_flashfftconv.py --sizes 524288 \
   --csv benchmarks/results_v5e_r5_512k_ab.csv
 
+# Forward/backward plan-split A/Bs: correctness is factorization-
+# independent (du/dk leave the kernel in the time domain), so pair the
+# fwd-optimal plan with the bwd-optimal override and check both the fwd
+# MFU and the total against the single-plan defaults in results_v5e_r5.csv.
+run split_1m 5400 env FLASHFFTCONV_FACTORS=1048576:8,512,256 \
+  FLASHFFTCONV_BWD_FACTORS=1048576:16,512,128 \
+  python -u benchmarks/benchmark_flashfftconv.py --sizes 1048576 \
+  --csv benchmarks/results_v5e_r5_split1m.csv
+
+run split_64k 5400 env FLASHFFTCONV_FACTORS=65536:2,256,128 \
+  FLASHFFTCONV_BWD_FACTORS=65536:4,128,128 \
+  python -u benchmarks/benchmark_flashfftconv.py --sizes 65536 \
+  --csv benchmarks/results_v5e_r5_split64k.csv
+
 echo "=== round-5 phase-3 queue done ($(date -u +%H:%M:%S)) ==="
