@@ -60,6 +60,7 @@ fi
 rm -f benchmarks/listops_v5e.jsonl
 run listops_prenorm 12600 python -u examples/lra/train_listops.py \
   --epochs 32 --prenorm --warmup-steps 1000 --lr 2e-3 \
+  --kernel_dropout 0.2 \
   --log-file benchmarks/listops_v5e.jsonl
 
 run pathfinder_p2 10800 python -u examples/lra/train_pathfinder.py \

@@ -98,6 +98,10 @@ def get_args():
     p.add_argument("--dropout", default=0.1, type=float)
     p.add_argument("--kernel_lr", default=1e-3, type=float)
     p.add_argument("--kernel_lam", default=0.001, type=float)
+    p.add_argument("--kernel_dropout", default=0.0, type=float,
+                   help="dropout on the squashed conv kernel (the reference "
+                   "LRA long-conv layer uses 0.2, configs/model/layer/"
+                   "long-conv.yaml — its main anti-overfit lever)")
     p.add_argument("--warmup-steps", default=1000, type=int)
     p.add_argument("--prenorm", action="store_true",
                    help="pre-norm residual blocks (easier optimization for "
@@ -158,6 +162,7 @@ def main():
         n_layers=args.n_layers,
         dropout=args.dropout,
         kernel_lam=args.kernel_lam,
+        kernel_dropout=args.kernel_dropout,
         l_max=args.l_max,
         prenorm=args.prenorm,
         conv_dtype=jnp.dtype(args.conv_dtype),
